@@ -1,0 +1,154 @@
+"""Text feature extraction: vectorized pandas/Arrow UDFs + JVM column
+builders.
+
+The graft's analog of the reference's record-building stage
+(utils/dimension/DimensionsBuilder.scala:10-44 + the upstream TPC-DS
+cube view dsdgen/dw/web_sales_cube_nonull.sql): instead of projecting
+Kafka JSON into typed dimensions, we derive metric + dimensions from
+web-page rows. Everything that built-in `pyspark.sql.functions` can
+express stays JVM-side (whole-stage codegen); only html->text
+extraction, language-ID and fingerprinting are pandas UDFs (Arrow
+batches, numpy inner loops — never per-row Python UDFs, per
+BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+_TAG_RE = re.compile(rb"<[^>]*>")
+
+# deliberately small English-ish stopword list for quality scoring
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+@pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """html binary -> visible text. Deterministic (pure function of the
+    bytes), so extraction is byte-identical per url — the per-row
+    invariant from BASELINE.json input_hint. Tag stripping is done on
+    bytes before a single utf-8 decode."""
+    return html.map(
+        lambda b: _TAG_RE.sub(b"", bytes(b)).decode("utf-8", errors="replace")
+        if b is not None
+        else None
+    )
+
+
+def url_host_col(url: Column) -> Column:
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def url_dimension_cols(url: Column) -> dict[str, Column]:
+    """host -> domain -> tld hierarchy columns, all JVM-side regex/
+    string ops (no UDF). domain = host minus its first label; tld =
+    last label."""
+    host = url_host_col(url)
+    return {
+        "url_host": host,
+        "url_domain": F.regexp_extract(host, r"^[^.]+\.(.+)$", 1),
+        "url_tld": F.substring_index(host, ".", -1),
+    }
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count, JVM-side."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_piece_count_col(text: Column) -> Column:
+    """BPE-ish piece count: runs of letters, digits, or single other
+    non-space chars (the usual pre-tokenizer regex shape), JVM-side."""
+    return F.regexp_count(text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Document-quality signals as plain column math (JVM-side):
+    length, punctuation ratio, stopword ratio, mean token length, and
+    a composite [0,1] score."""
+    n_chars = F.length(text)
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = token_count_col(text)
+    n_punct = F.regexp_count(text, F.lit(r"[\p{Punct}]"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(tokens, stop_arr))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_token_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_token_len,
+        "quality_score": score,
+    }
+
+
+# tiny per-language character/stopword profiles for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "el": ["και", "της", "το "],
+    "fr": [" le ", " les ", " des "],
+    "es": [" el ", " los ", " de "],
+    "ja": ["の", "に", "は"],
+    "zh": ["的", "是", "了"],
+    "pt": [" o ", " os ", " de "],
+}
+
+
+@pandas_udf(T.StringType())
+def language_id(text: pd.Series) -> pd.Series:
+    """Marker-n-gram language heuristic (vectorized str.count per
+    marker). Deterministic; defaults to 'en' when nothing matches."""
+    filled = text.fillna("")
+    scores = pd.DataFrame(
+        {
+            lang: sum(filled.str.count(re.escape(m)) for m in markers)
+            for lang, markers in _LANG_MARKERS.items()
+        }
+    )
+    best = scores.idxmax(axis=1)
+    return best.where(scores.max(axis=1) > 0, "en")
+
+
+_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(1000003)
+
+
+@pandas_udf(T.LongType())
+def rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """Polynomial rolling-hash fingerprint of the utf-8 bytes, mod
+    2^61-1 — deterministic document identity for near-dup bookkeeping.
+    numpy inner loop over byte arrays (Arrow-batched)."""
+
+    def fp(s: str | None) -> int:
+        if s is None:
+            return 0
+        data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        h = np.uint64(0)
+        # Horner chunks of 1024 bytes keep the loop short in Python
+        for chunk in np.split(data, range(1024, len(data), 1024)):
+            for b in chunk:
+                h = (h * _FP_BASE + b) % _FP_MOD
+        return int(h)
+
+    return text.map(fp).astype("int64")

@@ -1,0 +1,254 @@
+"""RCA contributor finders (ThirdEye ports — reference R1-R4).
+
+Reference logic (root_cause_analysis/*.scala in /root/reference):
+- Stats.scala:8-75: valueChangePercentage, contributionChangePercentage,
+  contributionToOverallChangePercentage — each `Math.round(x*1e4)/1e4`
+  rounded, NaN on zero denominators.
+- SimpleContributorsCost.scala:14-22: |ctoc| < 3 -> 0 else |ctoc|+|cc|.
+- SimpleContributorsFinder.scala:15-77: keyset union of current+baseline
+  breakdowns zero-filled, cost>0 filter, sort cost desc, take k.
+- HierarchicalContributorsFinder.scala:14-199 +
+  HierarchicalContributorsCost.scala:3-111: per dimension-group split,
+  parent-ratio balanced cost with one-sided ln(2-r) variants, per-level
+  top-k roll-up.
+
+Spark mapping: everything is column math over the long-form
+`breakdown_with_baseline` rows — a broadcast-joined alert set, `when`/
+`log`/`abs` expressions and one `row_number` per (anomaly[, group])
+partition. No UDFs, fully whole-stage-codegen'd.
+
+NaN policy: the reference's zero-denominator stats are Double.NaN,
+which poisons downstream costs and then fails its `cost > 0` filter;
+NULL propagates through Spark arithmetic and fails the same filter, so
+surviving rows and values are identical — we use NULL (documented
+deviation, keeps DuckDB oracle comparison exact).
+
+dimensionImportance note: the reference folds per-level top-k lists
+into a final top-k (HierarchicalContributorsFinder.scala:184-198);
+top-k of unions of per-level top-k's equals the global top-k over all
+levels, so the roll-up is a single row_number <= k per (anomaly,
+group), modulo tie order (made deterministic here by dim_name,
+dim_value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _jround6(col: Column) -> Column:
+    """floor(x*1e6+0.5)/1e6 — Java Math.round-style half-up at 6dp."""
+    return F.floor(col * 1000000.0 + 0.5) / 1000000.0
+
+
+def _jround(col: Column) -> Column:
+    """Java Math.round(x*10000)/10000d (Stats.scala:72-74):
+    floor(x*1e4 + 0.5)/1e4 — matches DuckDB floor() for the oracle."""
+    return F.floor(col * 10000.0 + 0.5) / 10000.0
+
+
+def stats_cols(
+    dim_current: Column, dim_baseline: Column, current_total: Column, baseline_total: Column
+) -> dict[str, Column]:
+    vcp = F.when(
+        dim_baseline != 0.0,
+        _jround((dim_current - dim_baseline) / dim_baseline * 100.0),
+    )
+    ccp = F.when(
+        (current_total != 0.0) & (baseline_total != 0.0),
+        _jround(
+            (dim_current / current_total - dim_baseline / baseline_total) * 100.0
+        ),
+    )
+    ctoc = F.when(
+        (baseline_total != 0.0) & (current_total != baseline_total),
+        _jround(
+            (dim_current - dim_baseline)
+            / F.abs(current_total - baseline_total)
+            * 100.0
+        ),
+    )
+    return {
+        "value_change_pct": vcp,
+        "contribution_change_pct": ccp,
+        "contribution_to_overall_change_pct": ctoc,
+    }
+
+
+def _alert_breakdown(alerts: DataFrame, breakdown_wb: DataFrame) -> DataFrame:
+    """Alerts joined back to their window's long-form breakdown rows —
+    the explicit form of the reference's carried-along breakdown maps
+    (SURVEY.md §2.11). Alert set is small: broadcast."""
+    a = alerts.select(
+        "anomaly_id",
+        F.col("window_start").alias("_aws"),
+        F.col("current").alias("current_total"),
+        F.col("baseline").alias("baseline_total"),
+    )
+    return breakdown_wb.join(
+        F.broadcast(a), breakdown_wb.window_start == a._aws, "inner"
+    ).drop("_aws")
+
+
+def simple_contributors(
+    alerts: DataFrame, breakdown_wb: DataFrame, summary_size: int = 5
+) -> DataFrame:
+    """R1-R3: per-anomaly dimension summaries ranked by the balanced
+    simple cost."""
+    j = _alert_breakdown(alerts, breakdown_wb)
+    # pre-round stat inputs to 6dp — the reference's float-stabilizing
+    # rounding map (P6, EWStreamingSummarizerTest.scala:101-120); the
+    # floor(x*1e6+0.5) form (not engine round()) is IEEE-deterministic
+    # given identical input doubles, so the DuckDB oracle matches bitwise
+    dc = _jround6(F.col("dim_current"))
+    db = _jround6(F.coalesce(F.col("dim_baseline"), F.lit(0.0)))
+    ct = _jround6(F.col("current_total"))
+    bt = _jround6(F.col("baseline_total"))
+    st = stats_cols(dc, db, ct, bt)
+    cost = F.when(F.abs(st["contribution_to_overall_change_pct"]) < 3.0, F.lit(0.0)).otherwise(
+        F.abs(st["contribution_to_overall_change_pct"])
+        + F.abs(st["contribution_change_pct"])
+    )
+    scored = j.select(
+        "anomaly_id",
+        "window_start",
+        "current_total",
+        "baseline_total",
+        "dim_name",
+        "dim_value",
+        "dim_group",
+        "dim_level",
+        dc.alias("current_value"),
+        db.alias("baseline_value"),
+        cost.alias("cost"),
+        st["value_change_pct"].alias("value_change_pct"),
+        st["contribution_change_pct"].alias("contribution_change_pct"),
+        st["contribution_to_overall_change_pct"].alias(
+            "contribution_to_overall_change_pct"
+        ),
+    ).filter(F.col("cost") > 0)
+    rank_w = Window.partitionBy("anomaly_id").orderBy(
+        F.col("cost").desc(), "dim_name", "dim_value"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= summary_size)
+    )
+
+
+def hierarchical_contributors(
+    alerts: DataFrame,
+    breakdown_wb: DataFrame,
+    parent_of: dict[str, str],
+    parent_value_exprs: dict[str, Column] | None = None,
+    summary_size: int = 5,
+) -> DataFrame:
+    """R4: balanced-cost hierarchical finder, split per dimension group.
+
+    parent_of: child dim_name -> parent dim_name (level-1 dims absent:
+    their parent is the window total).
+    parent_value_exprs: child dim_name -> Column deriving the parent's
+    dim_value from `dim_value` (e.g. url_host -> its url_domain). When
+    omitted for a child, the parent value is looked up by joining on
+    (window, parent dim_name) against *any* value — not meaningful, so
+    pass exprs for every non-root dim.
+    """
+    j = _alert_breakdown(alerts, breakdown_wb)
+
+    # derive the parent (name, value) for each row; level-1 rows keep NULLs
+    parent_name = F.lit(None).cast("string")
+    parent_value = F.lit(None).cast("string")
+    for child, parent in parent_of.items():
+        cond = F.col("dim_name") == child
+        parent_name = F.when(cond, F.lit(parent)).otherwise(parent_name)
+        if parent_value_exprs and child in parent_value_exprs:
+            parent_value = F.when(cond, parent_value_exprs[child]).otherwise(parent_value)
+    j = j.withColumn("_parent_name", parent_name).withColumn(
+        "_parent_value", parent_value
+    )
+
+    # parent breakdown lookup (self-join on the long-form rows);
+    # missing parent rows -> 0 (HierarchicalContributorsFinder.scala:141-145)
+    parents = breakdown_wb.select(
+        F.col("window_start").alias("_pws"),
+        F.col("dim_name").alias("_pname"),
+        F.col("dim_value").alias("_pvalue"),
+        F.col("dim_current").alias("_parent_current"),
+        F.coalesce(F.col("dim_baseline"), F.lit(0.0)).alias("_parent_baseline"),
+    )
+    j = j.join(
+        parents,
+        (j.window_start == parents._pws)
+        & (j._parent_name == parents._pname)
+        & (j._parent_value == parents._pvalue),
+        "left",
+    )
+
+    dc = _jround6(F.col("dim_current"))
+    db = _jround6(F.coalesce(F.col("dim_baseline"), F.lit(0.0)))
+    ct = _jround6(F.col("current_total"))
+    bt = _jround6(F.col("baseline_total"))
+
+    p_cur = F.when(F.col("dim_level") == 1, ct).otherwise(
+        F.coalesce(F.col("_parent_current"), F.lit(0.0))
+    )
+    p_base = F.when(F.col("dim_level") == 1, bt).otherwise(
+        F.coalesce(F.col("_parent_baseline"), F.lit(0.0))
+    )
+
+    # computeChangeRatio (HierarchicalContributorsCost.scala:103-110):
+    # NULL/0 -> 1 (checkedParentRatio, :12-17)
+    raw_ratio = F.when(p_base != 0.0, p_cur / p_base)
+    r = F.when(raw_ratio.isNull() | (raw_ratio == 0.0), F.lit(1.0)).otherwise(raw_ratio)
+
+    # contribution with epsilon floor (:90-101)
+    contrib_raw = (db + dc) / (bt + ct)
+    contribution = F.when(F.abs(contrib_raw) < 1e-5, F.lit(0.0)).otherwise(contrib_raw)
+
+    # balanced cost (:19-77)
+    expected_baseline = r * db
+    error_both = (dc - expected_baseline) * F.log(
+        (dc / expected_baseline - 1.0) * contribution + 1.0
+    )
+    error_empty_baseline = dc * F.log(F.when(r > 1.0, 2.0 - r).otherwise(r))
+    error_empty_current = -db * F.log(F.when(r < 1.0, 2.0 - r).otherwise(r))
+    cost_inner = (
+        F.when((db != 0.0) & (dc != 0.0), error_both)
+        .when(db == 0.0, error_empty_baseline)
+        .otherwise(error_empty_current)
+    )
+
+    st = stats_cols(dc, db, ct, bt)
+    # nodes below the contribution-of-interest threshold get cost 0
+    # (HierarchicalContributorsFinder.scala:70-80)
+    cost = F.when(
+        F.abs(st["contribution_to_overall_change_pct"]) < 3.0, F.lit(0.0)
+    ).otherwise(cost_inner)
+
+    scored = j.select(
+        "anomaly_id",
+        "window_start",
+        "current_total",
+        "baseline_total",
+        F.col("dim_group").alias("dimension_group"),
+        "dim_name",
+        "dim_value",
+        "dim_level",
+        dc.alias("current_value"),
+        db.alias("baseline_value"),
+        cost.alias("cost"),
+        st["value_change_pct"].alias("value_change_pct"),
+        st["contribution_change_pct"].alias("contribution_change_pct"),
+        st["contribution_to_overall_change_pct"].alias(
+            "contribution_to_overall_change_pct"
+        ),
+    ).filter(F.col("cost") > 0)
+
+    rank_w = Window.partitionBy("anomaly_id", "dimension_group").orderBy(
+        F.col("cost").desc(), "dim_name", "dim_value"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= summary_size)
+    )

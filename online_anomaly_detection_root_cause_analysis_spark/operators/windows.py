@@ -1,0 +1,148 @@
+"""Event-time windowed aggregation (reference A1/W2/W3/W8).
+
+The reference buffers whole panes through a single-threaded
+`windowAll` + incremental SumAggregator (SumAggregator.scala:11-61,
+ThresholdDetector.scala:27-29). Here the same semantics are expressed
+declaratively — `groupBy(window(ts, size, slide))` — so Catalyst plans
+a distributed partial+final HashAggregate (map-side combine for free)
+and the nested `dimensions_breakdown` map becomes exploded long-form
+rows `(window_start, dim_name, dim_value, group, level, dim_sum)`
+that stay columnar, joinable and skew-manageable (SURVEY.md §1.3).
+
+The long-form unpivot uses `stack(...)` — JVM-side, no UDF, a single
+projection before the shuffle. At 100 TB the breakdown groupBy is the
+big shuffle; keys are (window, dim_name, dim_value), which spreads hot
+hosts across dim values; `salt_buckets` adds an explicit two-level
+aggregation for residual hot keys (north_rule skew requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+
+
+def _window_col(ts: str, size_s: int, slide_s: int | None):
+    if slide_s is None or slide_s == size_s:
+        return F.window(F.col(ts), f"{size_s} seconds")
+    return F.window(F.col(ts), f"{size_s} seconds", f"{slide_s} seconds")
+
+
+def tumbling_window_totals(
+    records: DataFrame, size_s: int = 300, ts: str = "ts", value: str = "value"
+) -> DataFrame:
+    return sliding_window_totals(records, size_s, None, ts, value)
+
+
+def sliding_window_totals(
+    records: DataFrame,
+    size_s: int = 300,
+    slide_s: int | None = 60,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-window totals: the reference's AggregatedRecords top level
+    (current, window_starting_epoch, records_aggregated)."""
+    w = _window_col(ts, size_s, slide_s)
+    return (
+        records.groupBy(w.alias("w"))
+        .agg(
+            F.sum(value).alias("current"),
+            F.count(F.lit(1)).alias("records_aggregated"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "current",
+            "records_aggregated",
+        )
+    )
+
+
+def dimension_breakdown(
+    records: DataFrame,
+    cfg: EngineConfig,
+    size_s: int = 300,
+    slide_s: int | None = 60,
+    ts: str = "ts",
+    value: str = "value",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Long-form per-(window, dimension name, dimension value) sums —
+    the reference's dimensions_breakdown map rebuilt as rows.
+
+    salt_buckets > 0 enables two-level aggregation for skewed dimension
+    values: first groupBy(window, dim, salt) partial sums, then the
+    final rollup — bounds any single reducer's key volume.
+    """
+    dims = cfg.dimension_names
+    n = len(dims)
+    stack_expr = "stack({}, {}) as (dim_name, dim_value)".format(
+        n, ", ".join(f"'{d}', cast(`{d}` as string)" for d in dims)
+    )
+    w = _window_col(ts, size_s, slide_s)
+    long_form = records.select(
+        w.alias("w"), F.col(value).alias("_value"), F.expr(stack_expr)
+    )
+
+    group_map = F.create_map(
+        *[x for d in dims for x in (F.lit(d), F.lit(cfg.group(d)))]
+    )
+    level_map = F.create_map(
+        *[x for d in dims for x in (F.lit(d), F.lit(cfg.level(d)))]
+    )
+
+    if salt_buckets > 0:
+        partial = long_form.groupBy(
+            "w",
+            "dim_name",
+            "dim_value",
+            (F.abs(F.hash("dim_value")) % salt_buckets).alias("_salt"),
+        ).agg(F.sum("_value").alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+        grouped = partial.groupBy("w", "dim_name", "dim_value").agg(
+            F.sum("_psum").alias("dim_sum"), F.sum("_pcnt").alias("dim_count")
+        )
+    else:
+        grouped = long_form.groupBy("w", "dim_name", "dim_value").agg(
+            F.sum("_value").alias("dim_sum"), F.count(F.lit(1)).alias("dim_count")
+        )
+
+    return grouped.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "dim_name",
+        "dim_value",
+        group_map[F.col("dim_name")].alias("dim_group"),
+        level_map[F.col("dim_name")].alias("dim_level"),
+        "dim_sum",
+        "dim_count",
+    )
+
+
+def session_window_agg(
+    records: DataFrame,
+    key: str,
+    gap_s: int = 1800,
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key session windows (gap-based). Not in the reference
+    (SURVEY.md W8) — required by north_rule; native in Spark >= 3.2."""
+    return (
+        records.groupBy(
+            F.col(key), F.session_window(F.col(ts), f"{gap_s} seconds").alias("w")
+        )
+        .agg(
+            F.sum(value).alias("current"),
+            F.count(F.lit(1)).alias("records_aggregated"),
+        )
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "current",
+            "records_aggregated",
+        )
+    )

@@ -1,0 +1,56 @@
+"""Config-driven input-record building (reference S3 stage).
+
+Analog of InputRecordStreamBuilder.scala:28-41 + DimensionsBuilder
+.scala:10-44: project the raw source into (ts, value, dim...) columns
+declared by EngineConfig. Works identically on batch and streaming
+DataFrames — all expressions are JVM-side except html->text
+extraction (pandas UDF), and that stage is skipped when `text` is
+already materialized (column pruning then never touches `html`,
+SURVEY.md §4.1: the single biggest I/O lever at web scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..functions.text import extract_text, url_dimension_cols
+
+
+def build_page_records(
+    df: DataFrame, cfg: EngineConfig, use_extracted_text: bool = False
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> records with metric
+    `text_len` (extracted-text byte length) + configured dimensions.
+
+    use_extracted_text=True forces the html->extract_text pandas-UDF
+    path (byte-identity invariant); default reads the materialized
+    `text` column so the binary column is pruned at scan time.
+    """
+    text_col = extract_text(F.col("html")) if use_extracted_text else F.col("text")
+    url_dims = url_dimension_cols(F.col("url"))
+    out = df.select(
+        F.col("url"),
+        F.col(cfg.timestamp_field).alias("ts"),
+        F.octet_length(text_col).cast("double").alias("value"),
+        F.col("lang"),
+        url_dims["url_host"].alias("url_host"),
+        url_dims["url_domain"].alias("url_domain"),
+        url_dims["url_tld"].alias("url_tld"),
+        F.date_format(
+            F.date_trunc("hour", F.col(cfg.timestamp_field)), "yyyy-MM-dd HH"
+        ).alias("warc_ts_bucket"),
+    )
+    return out
+
+
+def build_event_records(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) ->
+    records with dimensions event_type + user_bucket (user_id % 10)."""
+    return df.select(
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+        (F.col("user_id") % 10).cast("string").alias("user_bucket"),
+    )
