@@ -144,7 +144,7 @@ def q_simple_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic anomaly id = the window epoch
     alerts = alerts_raw.withColumn("anomaly_id", _epoch().cast("string"))
     bd = dimension_breakdown(records, events_config(), SIZE_S, SLIDE_S)
-    bdw = breakdown_with_baseline(bd, wb, BASELINE_N)
+    bdw = breakdown_with_baseline(bd, wb, BASELINE_N, targets=alerts)
     rca = simple_contributors(alerts, bdw, SUMMARY_SIZE)
     return rca.select(
         _epoch().alias("window_start_epoch"),

@@ -54,7 +54,7 @@ def run_threshold_pipeline(
     breakdown = dimension_breakdown(
         records, cfg, size_s, slide_s, salt_buckets=salt_buckets
     )
-    breakdown_wb = breakdown_with_baseline(breakdown, wb, baseline_n)
+    breakdown_wb = breakdown_with_baseline(breakdown, wb, baseline_n, targets=alerts)
 
     if rca_method == "simple":
         rca = simple_contributors(alerts, breakdown_wb, summary_size)

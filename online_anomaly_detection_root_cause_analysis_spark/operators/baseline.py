@@ -47,13 +47,20 @@ def with_offset_baseline(window_totals: DataFrame, n: int = 10) -> DataFrame:
 
 
 def breakdown_with_baseline(
-    breakdown: DataFrame, totals_with_idx: DataFrame, n: int = 10
+    breakdown: DataFrame, totals_with_idx: DataFrame, n: int = 10,
+    targets: DataFrame | None = None,
 ) -> DataFrame:
     """Long-form rows (window, dim) -> (dim_current, dim_baseline),
     including dims present only in the trailing baseline (dim_current
     0) or only in the current window (dim_baseline 0 when history
     exists, NULL when the offset buffer is empty — the reference emits
-    an empty baseline map then)."""
+    an empty baseline map then).
+
+    `targets` (optional, a DataFrame with a window_idx column, e.g.
+    the alert windows) prunes the computation to just those target
+    windows *before* the n-1x explode and the shuffle — the RCA path
+    only ever consumes alert windows, so this is a pure win (40x fewer
+    grid rows at 2.4% alert rate) with identical per-window results."""
     idx = totals_with_idx.select(
         "window_start", "window_idx", "records_in_baseline_offset"
     )
@@ -73,6 +80,11 @@ def breakdown_with_baseline(
         *dim_cols,
         "dim_sum",
     )
+
+    if targets is not None:
+        t = targets.select(F.col("window_idx").alias("target_idx")).distinct()
+        current = current.join(F.broadcast(t), "target_idx", "left_semi")
+        future = future.join(F.broadcast(t), "target_idx", "left_semi")
     trailing = future.groupBy("target_idx", *dim_cols).agg(
         F.sum("dim_sum").alias("_trailing_sum")
     )
