@@ -1,0 +1,177 @@
+"""End-to-end streaming AD+RCA job (reference MainJob, SURVEY.md §3.1).
+
+Two chained streaming queries, mirroring the reference's
+distributed-aggregation -> serial-detector shape:
+
+1. **aggregate** (distributed): rate-limited source stream ->
+   watermark -> groupBy(window(ts, size, slide), dim) long-form sums,
+   with per-window totals riding along as dim_name='__total__' ->
+   append mode -> foreachBatch writing ONE commit-atomic parquet file
+   per micro-batch into `aggs/`. Commit atomicity matters: every
+   finalized window's rows land in exactly one file, so the tail can
+   treat files as ordered, complete units. (Production: an Iceberg
+   table, whose snapshots give the same commit atomicity without the
+   single-file funnel; the funnel here carries only per-window
+   aggregates — a ~10^6x reduction from the input — not raw events.)
+
+2. **detect** (serial tail): file-stream over `aggs/`
+   (maxFilesPerTrigger=1, i.e. one upstream commit per trigger) ->
+   single-key applyInPandasWithState(StreamingTail) -> foreachBatch
+   idempotent sink split into `alerts/` + `rca/`.
+
+Both queries checkpoint independently; kill + restart resumes from the
+WALs and the idempotent sinks dedupe replayed commits (tests:
+tests/test_streaming.py::test_checkpoint_resume).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from .sink import write_batch_idempotent
+from .state import TOTAL_DIM, TailConfig, make_tail_fn, tail_output_schema
+
+
+def long_form_window_aggs(
+    records: DataFrame,
+    cfg: EngineConfig,
+    size_s: int = 300,
+    slide_s: int | None = 60,
+    watermark: str = "0 seconds",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Streaming long-form per-(window, dim) sums + '__total__' rows in
+    one aggregation (single shuffle). Works on batch frames too."""
+    dims = cfg.dimension_names
+    n = len(dims) + 1
+    stack_parts = [f"'{d}', cast(`{d}` as string)" for d in dims]
+    stack_parts.append(f"'{TOTAL_DIM}', '{TOTAL_DIM}'")
+    stack_expr = f"stack({n}, {', '.join(stack_parts)}) as (dim_name, dim_value)"
+
+    group_map = F.create_map(
+        *[x for d in dims for x in (F.lit(d), F.lit(cfg.group(d)))],
+        F.lit(TOTAL_DIM), F.lit(TOTAL_DIM),
+    )
+    level_map = F.create_map(
+        *[x for d in dims for x in (F.lit(d), F.lit(cfg.level(d)))],
+        F.lit(TOTAL_DIM), F.lit(0),
+    )
+
+    if slide_s is None or slide_s == size_s:
+        w = F.window(F.col(ts), f"{size_s} seconds")
+    else:
+        w = F.window(F.col(ts), f"{size_s} seconds", f"{slide_s} seconds")
+
+    source = records
+    if records.isStreaming:
+        source = records.withWatermark(ts, watermark)
+
+    long_form = source.select(
+        F.col(ts), F.col(value).alias("_value"), F.expr(stack_expr)
+    )
+    return (
+        long_form.groupBy(w.alias("w"), "dim_name", "dim_value")
+        .agg(F.sum("_value").alias("dim_sum"), F.count(F.lit(1)).alias("dim_count"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "dim_name",
+            "dim_value",
+            group_map[F.col("dim_name")].alias("dim_group"),
+            level_map[F.col("dim_name")].alias("dim_level"),
+            "dim_sum",
+            "dim_count",
+        )
+    )
+
+
+@dataclass
+class StreamingJob:
+    work_dir: str
+    cfg: EngineConfig
+    tail: TailConfig
+    size_s: int = 300
+    slide_s: int | None = 60
+    watermark: str = "0 seconds"
+
+    @property
+    def aggs_dir(self) -> str:
+        return os.path.join(self.work_dir, "aggs")
+
+    @property
+    def alerts_dir(self) -> str:
+        return os.path.join(self.work_dir, "alerts")
+
+    @property
+    def rca_dir(self) -> str:
+        return os.path.join(self.work_dir, "rca")
+
+    def _ckpt(self, name: str) -> str:
+        return os.path.join(self.work_dir, "checkpoints", name)
+
+    def start_aggregate_query(self, records_stream: DataFrame):
+        aggs = long_form_window_aggs(
+            records_stream, self.cfg, self.size_s, self.slide_s, self.watermark
+        )
+        aggs_dir = self.aggs_dir
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            write_batch_idempotent(batch_df, batch_id, aggs_dir, coalesce=1)
+
+        return (
+            aggs.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt("aggregate"))
+            .queryName("aggregate")
+            .start()
+        )
+
+    def start_detect_query(self, spark: SparkSession):
+        agg_schema = (
+            "window_start_epoch long, dim_name string, dim_value string, "
+            "dim_group string, dim_level int, dim_sum double, dim_count long"
+        )
+        stream = (
+            spark.readStream.schema(agg_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(self.aggs_dir)
+        )
+        fn = make_tail_fn(self.tail)
+        out = stream.withColumn("_k", F.lit(0)).groupBy("_k").applyInPandasWithState(
+            fn,
+            outputStructType=tail_output_schema(),
+            stateStructType="version int, blob binary",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+        alerts_dir, rca_dir = self.alerts_dir, self.rca_dir
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.cache()
+            try:
+                write_batch_idempotent(
+                    batch_df.filter(F.col("row_type") == "alert").drop("row_type"),
+                    batch_id,
+                    alerts_dir,
+                )
+                write_batch_idempotent(
+                    batch_df.filter(F.col("row_type") == "rca").drop("row_type"),
+                    batch_id,
+                    rca_dir,
+                )
+            finally:
+                batch_df.unpersist()
+
+        return (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt("detect"))
+            .queryName("detect")
+            .start()
+        )

@@ -1,0 +1,258 @@
+"""The serial streaming tail: offset baseline + detector + RCA as one
+stateful operator.
+
+The reference chains countWindowAll -> OffsetBaselineAggregator ->
+(threshold filter | EWFeatureTransform -> EWAppxPercentileAuxiliary)
+-> RCA, all at parallelism 1 (SURVEY.md §3.1 step 4). Here the whole
+single-key tail is FUSED into one `applyInPandasWithState` operator:
+it consumes finalized per-window aggregate rows (the distributed
+heavy lifting happens upstream), maintains the count-window deque
+(W4), the MacroBase scorer/classifier/summarizer or the threshold
+rule, and emits alert + RCA rows. Fusing avoids Spark's multiple-
+stateful-operator chaining restrictions and keeps exactly one tiny
+state blob.
+
+State is a pickled `StreamingTail` in a single BINARY state column —
+versioned via PICKLE_VERSION for checkpoint-compatible evolution
+(SURVEY.md §7.3). The reference's un-checkpointed warm-up fields bug
+(EWFeatureTransform.scala:31-32) is fixed by construction: everything
+lives in the pickle.
+
+Input contract: rows (window_start_epoch, dim_name, dim_value,
+dim_group, dim_level, dim_sum, dim_count); per-window totals ride
+along as dim_name == '__total__'. Every window's rows arrive within
+one micro-batch (commit-atomic upstream, see job.py), in any order.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+import pandas as pd
+
+from ..algorithms.ewfeature import EWFeatureSpec, EWFeatureTransform
+from ..algorithms.ewpercentile import EWAppxPercentileAuxiliary
+from ..algorithms.models import AggregatedRecordsWBaseline, AnomalyEvent, Dimension
+from ..algorithms.stats import simple_contributor_summaries
+from ..algorithms.summarizer import (
+    ExponentiallyDecayingEmergingItemsets,
+    SummarizerSpec,
+)
+
+TOTAL_DIM = "__total__"
+PICKLE_VERSION = 1
+
+
+@dataclass
+class TailConfig:
+    mode: str = "threshold"  # threshold | macrobase
+    baseline_n: int = 10
+    min_value: float = float("-inf")
+    max_value: float = float("inf")
+    summary_size: int = 5
+    detector_spec: EWFeatureSpec | None = None
+    summarizer_spec: SummarizerSpec | None = None
+
+
+def tail_output_schema() -> str:
+    return (
+        "row_type string, seq long, window_start_epoch long, current double, "
+        "baseline double, records_in_baseline_offset int, is_outlier boolean, "
+        "score double, support double, num_records double, "
+        "ratio_to_inliers double, n_dims int, summary_id long, "
+        "dim_name string, dim_value string, cost double, "
+        "current_value double, baseline_value double"
+    )
+
+
+_OUT_COLUMNS = [
+    "row_type", "seq", "window_start_epoch", "current", "baseline",
+    "records_in_baseline_offset", "is_outlier", "score", "support",
+    "num_records", "ratio_to_inliers", "n_dims", "summary_id",
+    "dim_name", "dim_value", "cost", "current_value", "baseline_value",
+]
+
+
+def _empty_row() -> dict[str, Any]:
+    return {c: None for c in _OUT_COLUMNS}
+
+
+@dataclass
+class StreamingTail:
+    """Picklable tail state machine; `process_window` is the only
+    entry point and is deterministic in (config, window sequence)."""
+
+    config: TailConfig
+    deque: list[tuple[int, float, int, dict]] = field(default_factory=list)
+    seq: int = 0
+    n_summaries: int = 0
+    scorer: EWFeatureTransform | None = None
+    classifier: EWAppxPercentileAuxiliary | None = None
+    summarizer: ExponentiallyDecayingEmergingItemsets | None = None
+
+    def __post_init__(self) -> None:
+        if self.config.mode == "macrobase" and self.scorer is None:
+            self.scorer = EWFeatureTransform(self.config.detector_spec)
+            self.classifier = EWAppxPercentileAuxiliary(self.config.detector_spec)
+            self.summarizer = ExponentiallyDecayingEmergingItemsets.from_spec(
+                self.config.summarizer_spec
+            )
+
+    # -- offset baseline over the deque (OffsetBaselineAggregator.scala) --
+    def _baseline(self) -> tuple[float, dict, int]:
+        rest = self.deque[:-1]
+        if not rest:
+            return math.nan, {}, 0
+        baseline = sum(w[1] for w in rest) / len(rest)
+        bd: dict = {}
+        for _, _, _, breakdown in rest:
+            for dim, v in breakdown.items():
+                bd[dim] = bd.get(dim, 0.0) + v
+        bd = {dim: v / len(rest) for dim, v in bd.items()}
+        return baseline, bd, len(rest)
+
+    def process_window(
+        self, window_start: int, current: float, records: int, breakdown: dict
+    ) -> list[dict[str, Any]]:
+        self.seq += 1
+        self.deque.append((window_start, current, records, breakdown))
+        if len(self.deque) > self.config.baseline_n:
+            self.deque.pop(0)
+        baseline, baseline_bd, offset = self._baseline()
+
+        record = AggregatedRecordsWBaseline(
+            current=current,
+            baseline=baseline,
+            current_dimensions_breakdown=breakdown,
+            baseline_dimensions_breakdown=baseline_bd,
+            dimensions_hierarchy={},
+            records_in_baseline_offset=offset,
+        )
+
+        if self.config.mode == "threshold":
+            return self._threshold(window_start, record)
+        return self._macrobase(window_start, record)
+
+    def _alert_row(
+        self, window_start: int, rec: AggregatedRecordsWBaseline,
+        is_outlier: bool, score: float | None,
+    ) -> dict[str, Any]:
+        row = _empty_row()
+        row.update(
+            row_type="alert", seq=self.seq, window_start_epoch=window_start,
+            current=rec.current,
+            baseline=None if math.isnan(rec.baseline) else rec.baseline,
+            records_in_baseline_offset=rec.records_in_baseline_offset,
+            is_outlier=is_outlier, score=score,
+        )
+        return row
+
+    def _rca_rows_simple(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        rows = []
+        summaries = simple_contributor_summaries(
+            rec.current_dimensions_breakdown,
+            rec.baseline_dimensions_breakdown,
+            rec.current,
+            0.0 if math.isnan(rec.baseline) else rec.baseline,
+            self.config.summary_size,
+        )
+        for s in summaries:
+            row = _empty_row()
+            row.update(
+                row_type="rca", seq=self.seq, window_start_epoch=window_start,
+                current=rec.current,
+                baseline=None if math.isnan(rec.baseline) else rec.baseline,
+                n_dims=len(summaries),
+                dim_name=s.dimension.name, dim_value=s.dimension.value,
+                cost=s.cost, current_value=s.current_value,
+                baseline_value=s.baseline_value,
+            )
+            rows.append(row)
+        return rows
+
+    def _threshold(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        out: list[dict[str, Any]] = []
+        if rec.current < self.config.min_value or rec.current > self.config.max_value:
+            out.append(self._alert_row(window_start, rec, True, None))
+            out.extend(self._rca_rows_simple(window_start, rec))
+        return out
+
+    def _macrobase(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        out: list[dict[str, Any]] = []
+        for r1, score in self.scorer.process(rec, rec.current):
+            for r2, is_outlier in self.classifier.process(r1, score):
+                out.append(self._alert_row(window_start, r2, is_outlier, score))
+                event = AnomalyEvent(
+                    anomaly_id=str(self.seq), detected_at=self.seq,
+                    epoch=window_start, record=r2, is_outlier=is_outlier,
+                )
+                for result in self.summarizer.process(event):
+                    self.n_summaries += 1
+                    for d in result.dimension_summaries:
+                        row = _empty_row()
+                        row.update(
+                            row_type="rca", seq=self.seq,
+                            window_start_epoch=window_start,
+                            support=result.support,
+                            num_records=result.num_records,
+                            ratio_to_inliers=result.ratio_to_inliers
+                            if not math.isinf(result.ratio_to_inliers)
+                            else None,
+                            n_dims=len(result.dimension_summaries),
+                            summary_id=self.n_summaries,
+                            dim_name=d.dimension.name,
+                            dim_value=d.dimension.value,
+                        )
+                        out.append(row)
+        return out
+
+
+def rows_to_windows(pdf: pd.DataFrame) -> Iterator[tuple[int, float, int, dict]]:
+    """Group long-form aggregate rows into (window_start, current,
+    records, breakdown) tuples, ascending by window."""
+    for ws, grp in pdf.sort_values("window_start_epoch").groupby(
+        "window_start_epoch", sort=True
+    ):
+        totals = grp[grp.dim_name == TOTAL_DIM]
+        if len(totals) == 0:
+            continue
+        current = float(totals.dim_sum.iloc[0])
+        records = int(totals.dim_count.iloc[0])
+        dims = grp[grp.dim_name != TOTAL_DIM]
+        breakdown = {
+            Dimension(r.dim_name, r.dim_value, r.dim_group, int(r.dim_level)): float(
+                r.dim_sum
+            )
+            for r in dims.itertuples()
+        }
+        yield int(ws), current, records, breakdown
+
+
+def make_tail_fn(config: TailConfig):
+    """Builds the applyInPandasWithState function. State schema:
+    (version int, blob binary)."""
+
+    def fn(key, pdf_iter, state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, blob = state.get
+            tail = pickle.loads(bytes(blob))
+        else:
+            tail = StreamingTail(config)
+        out_rows: list[dict[str, Any]] = []
+        for pdf in pdf_iter:
+            for ws, current, records, breakdown in rows_to_windows(pdf):
+                out_rows.extend(tail.process_window(ws, current, records, breakdown))
+        state.update((PICKLE_VERSION, pickle.dumps(tail)))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_OUT_COLUMNS)
+
+    return fn

@@ -1,0 +1,234 @@
+"""Streaming end-to-end tests (north_rule obligations):
+
+- streaming windowed aggregation == batch replay (same input, same
+  watermark) — exact row parity;
+- the fused stateful tail (applyInPandasWithState across many
+  micro-batches) == a pure-Python replay of the same finalized
+  windows — exact alert/RCA parity;
+- kill + restart from checkpoint yields byte-identical sink tables
+  (idempotent exactly-once);
+- out-of-order input within the watermark matches batch.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from online_anomaly_detection_root_cause_analysis_spark.config import web_pages_config
+from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+    PagesSpec,
+    generate_pages,
+    pages_schema,
+    read_pages_stream,
+)
+from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+    build_page_records,
+)
+from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+    StreamingJob,
+    long_form_window_aggs,
+)
+from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+    StreamingTail,
+    TailConfig,
+    rows_to_windows,
+)
+
+CFG = web_pages_config()
+
+
+def _write_page_files(spark, tmp_path, spec: PagesSpec, n_files: int = 8) -> str:
+    """Kafka-like replay layout: time-sliced files written sequentially
+    with increasing mtimes (the file source orders by mtime, so a
+    parallel write would scramble event-time order and watermark-drop
+    whole slices — that behavior is itself exercised in the watermark
+    test via out_of_order_fraction)."""
+    pdf = generate_pages(spec).sort_values("warc_ts")
+    path = tmp_path / "pages"
+    path.mkdir(parents=True, exist_ok=True)
+    _write_chunks(pdf, path, n_files)
+    return str(path)
+
+
+def _write_chunks(pdf, path, n_files: int, start_idx: int = 0) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    chunk = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            continue
+        table = pa.Table.from_pandas(part, preserve_index=False)
+        f = path / f"chunk-{start_idx + i:05d}.parquet"
+        pq.write_table(table, f)
+        os.utime(f, (1e9 + (start_idx + i), 1e9 + (start_idx + i)))
+
+
+def _norm_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(
+            f"{v:.6f}" if isinstance(v, float) and not math.isnan(v) else str(v)
+            for v in (row[c] for c in cols)
+        )
+        for row in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_path_factory(spark, tmp_path_factory):
+    def make(name: str, spec: PagesSpec, n_files: int = 8) -> str:
+        return _write_page_files(
+            spark, tmp_path_factory.mktemp(name), spec, n_files
+        )
+
+    return make
+
+
+def _run_job(spark, work_dir: str, pages_path: str, tail: TailConfig,
+             watermark: str = "0 seconds"):
+    job = StreamingJob(
+        work_dir=work_dir, cfg=CFG, tail=tail, size_s=300, slide_s=60,
+        watermark=watermark,
+    )
+    stream = build_page_records(read_pages_stream(spark, pages_path), CFG)
+    q1 = job.start_aggregate_query(stream)
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = job.start_detect_query(spark)
+    q2.processAllAvailable()
+    q2.stop()
+    return job
+
+
+def test_streaming_aggs_match_batch(spark, pages_path_factory, tmp_path):
+    pages_path = pages_path_factory("agg", PagesSpec(n_pages=3000))
+    tail = TailConfig(mode="threshold", min_value=0, max_value=float("inf"))
+    job = _run_job(spark, str(tmp_path / "job"), pages_path, tail)
+
+    streamed = spark.read.parquet(job.aggs_dir)
+    assert streamed.count() > 0
+
+    batch_records = build_page_records(
+        spark.read.schema(pages_schema()).parquet(pages_path), CFG
+    )
+    batch = long_form_window_aggs(batch_records, CFG, 300, 60)
+
+    # streaming (watermark 0s) finalizes windows whose end <= max event
+    # time; restrict batch to the window set streaming emitted
+    emitted = {r.window_start_epoch for r in streamed.select("window_start_epoch").distinct().collect()}
+    batch_emitted = {r.window_start_epoch for r in batch.select("window_start_epoch").distinct().collect()}
+    assert emitted <= batch_emitted
+    # nothing but the trailing (un-finalizable) windows may be missing
+    assert len(batch_emitted - emitted) <= 5
+
+    batch_restricted = batch.filter(F.col("window_start_epoch").isin(list(emitted)))
+    assert _norm_rows(streamed) == _norm_rows(batch_restricted)
+
+
+def test_stateful_tail_matches_replay(spark, pages_path_factory, tmp_path):
+    pages_path = pages_path_factory("tail", PagesSpec(n_pages=3000))
+    # thresholds chosen from the batch totals so alerts exist
+    batch_records = build_page_records(
+        spark.read.schema(pages_schema()).parquet(pages_path), CFG
+    )
+    totals = (
+        long_form_window_aggs(batch_records, CFG, 300, 60)
+        .filter(F.col("dim_name") == "__total__")
+        .select("dim_sum")
+    )
+    p95 = totals.agg(F.expr("percentile(dim_sum, 0.95)")).first()[0]
+    tail = TailConfig(mode="threshold", min_value=0, max_value=float(p95))
+    job = _run_job(spark, str(tmp_path / "job"), pages_path, tail)
+
+    alerts = spark.read.parquet(job.alerts_dir)
+    rca = spark.read.parquet(job.rca_dir)
+    assert alerts.count() > 0
+    assert rca.count() > 0
+
+    # pure-Python replay of the exact finalized windows, in commit order
+    agg_files = sorted(
+        f for f in os.listdir(job.aggs_dir) if f.endswith(".parquet")
+    )
+    replay_tail = StreamingTail(tail)
+    expected = []
+    import pandas as pd
+
+    for f in agg_files:
+        pdf = pd.read_parquet(os.path.join(job.aggs_dir, f))
+        if len(pdf) == 0:
+            continue
+        for ws, cur, rec, bd in rows_to_windows(pdf):
+            expected.extend(replay_tail.process_window(ws, cur, rec, bd))
+
+    exp_alerts = [e for e in expected if e["row_type"] == "alert"]
+    exp_rca = [e for e in expected if e["row_type"] == "rca"]
+    assert alerts.count() == len(exp_alerts)
+    assert rca.count() == len(exp_rca)
+    got = sorted(
+        (r.seq, r.window_start_epoch, f"{r.current:.4f}") for r in alerts.collect()
+    )
+    want = sorted(
+        (e["seq"], e["window_start_epoch"], f"{e['current']:.4f}") for e in exp_alerts
+    )
+    assert got == want
+    got_rca = sorted(
+        (r.seq, r.dim_name, r.dim_value, f"{r.cost:.4f}") for r in rca.collect()
+    )
+    want_rca = sorted(
+        (e["seq"], e["dim_name"], e["dim_value"], f"{e['cost']:.4f}") for e in exp_rca
+    )
+    assert got_rca == want_rca
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    spec = PagesSpec(n_pages=2000)
+    pdf = generate_pages(spec).sort_values("warc_ts")
+    inc_path = tmp_path / "pages_inc"
+    inc_path.mkdir(parents=True)
+    # first half only (4 chunks)
+    _write_chunks(pdf.iloc[:1000], inc_path, 4, start_idx=0)
+
+    tail = TailConfig(mode="threshold", min_value=0, max_value=50000)
+    work = str(tmp_path / "job_inc")
+
+    job = _run_job(spark, work, str(inc_path), tail)
+
+    # second half arrives later; restart resumes from the checkpoints
+    _write_chunks(pdf.iloc[1000:], inc_path, 4, start_idx=4)
+    job = _run_job(spark, work, str(inc_path), tail)
+
+    # golden: one uninterrupted run over all data
+    golden_work = str(tmp_path / "job_gold")
+    all_path = tmp_path / "pages_all"
+    all_path.mkdir(parents=True)
+    _write_chunks(pdf, all_path, 8)
+    gold = _run_job(spark, golden_work, str(all_path), tail)
+
+    got = spark.read.parquet(job.alerts_dir)
+    want = spark.read.parquet(gold.alerts_dir)
+    assert _norm_rows(got) == _norm_rows(want)
+    got_rca = spark.read.parquet(job.rca_dir)
+    want_rca = spark.read.parquet(gold.rca_dir)
+    assert _norm_rows(got_rca) == _norm_rows(want_rca)
+
+
+def test_watermark_handles_out_of_order(spark, pages_path_factory, tmp_path):
+    spec = PagesSpec(n_pages=2000, out_of_order_fraction=0.05)
+    pages_path = pages_path_factory("ooo", spec, n_files=6)
+    tail = TailConfig(mode="threshold", min_value=0, max_value=float("inf"))
+    job = _run_job(
+        spark, str(tmp_path / "job"), pages_path, tail, watermark="300 seconds"
+    )
+    streamed = spark.read.parquet(job.aggs_dir)
+    batch_records = build_page_records(
+        spark.read.schema(pages_schema()).parquet(pages_path), CFG
+    )
+    batch = long_form_window_aggs(batch_records, CFG, 300, 60)
+    emitted = {r.window_start_epoch for r in streamed.select("window_start_epoch").distinct().collect()}
+    batch_restricted = batch.filter(F.col("window_start_epoch").isin(list(emitted)))
+    # within-watermark late rows are fully counted: exact parity
+    assert _norm_rows(streamed) == _norm_rows(batch_restricted)
