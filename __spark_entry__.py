@@ -15,7 +15,32 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from online_anomaly_detection_root_cause_analysis_spark.config import events_config
+from online_anomaly_detection_root_cause_analysis_spark.config import (
+    DimensionSpec,
+    EngineConfig,
+    events_config,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.contributors import (
+    hierarchical_contributors,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+    extract_media_features,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+    document_fingerprints,
+    document_language_id,
+    document_text_stats,
+)
 from online_anomaly_detection_root_cause_analysis_spark.operators.baseline import (
     breakdown_with_baseline,
     with_offset_baseline,
@@ -171,6 +196,224 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------- training-data pipeline ops
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus planted duplicates, derived identically in the
+    DuckDB oracle: every doc_id%20==0 gets an exact copy at
+    id+1_000_000; every doc_id%10==0 gets a near-copy (last 5 tokens
+    dropped) at id+2_000_000."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DOC_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(t[1:greatest(len(t)-5, 1)], ' ')
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 0
+"""
+
+
+def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_doc_corpus(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), n=3, threshold=0.3)
+    return p.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        (F.floor(F.col("jaccard") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = minhash_lsh_pairs(_doc_corpus(spark, sf_dir), n=3, num_hashes=64, bands=16)
+    return p.select(
+        "doc_a", "doc_b",
+        (F.floor(F.col("est_jaccard") * 10000.0 + 0.5) / 10000.0).alias("est_jaccard"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_doc_corpus(spark, sf_dir), max_hamming=3)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return document_text_stats(docs)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_embedding_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(emb, _query_vectors(spark, sf_dir), k=10)
+    return out.select(
+        "query_id", "vec_id",
+        (F.floor(F.col("cosine") * 10000.0 + 0.5) / 10000.0).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, bits=6, tables=8, multiprobe=2)
+    return out.select(
+        "query_id", "vec_id",
+        (F.floor(F.col("cosine") * 10000.0 + 0.5) / 10000.0).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over a binary column derived from documents
+    (payload = utf-8 bytes of text): mapInPandas feature extraction
+    with the deterministic fake decoder. n_bytes/width/height/sha are
+    SQL-checkable; mean_byte is not expressible in SQL and is omitted
+    from the compared output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(None).cast("string").alias("source_url"),
+        F.lit(None).cast("timestamp").alias("captured_ts"),
+    )
+    feats = extract_media_features(media, fake_decode=True)
+    return feats.select("media_id", "n_bytes", "width", "height", "payload_sha")
+
+
+# ------------------------------------------- hierarchical RCA over events
+
+def hier_events_config() -> EngineConfig:
+    return EngineConfig(
+        timestamp_field="ts",
+        value_field="value",
+        dimensions=[
+            DimensionSpec("event_type", group="type"),
+            DimensionSpec("user_band", group="user"),
+            DimensionSpec("user_bucket", group="user", parent="user_band"),
+        ],
+    )
+
+
+def q_hierarchical_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    records = df.select(
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+        (F.col("user_id") % 5).cast("string").alias("user_band"),
+        (F.col("user_id") % 10).cast("string").alias("user_bucket"),
+    )
+    cfg = hier_events_config()
+    totals = sliding_window_totals(records, SIZE_S, SLIDE_S)
+    wb = with_offset_baseline(totals, BASELINE_N)
+    avg_current = totals.agg(F.avg("current").alias("_avg"))
+    alerts = (
+        wb.crossJoin(F.broadcast(avg_current))
+        .filter(
+            (F.col("current") > 2 * F.col("_avg"))
+            | (F.col("current") < 0.2 * F.col("_avg"))
+        )
+        .drop("_avg")
+        .withColumn("anomaly_id", _epoch().cast("string"))
+    )
+    bd = dimension_breakdown(records, cfg, SIZE_S, SLIDE_S)
+    bdw = breakdown_with_baseline(bd, wb, BASELINE_N, targets=alerts)
+    rca = hierarchical_contributors(
+        alerts,
+        bdw,
+        parent_of={"user_bucket": "user_band"},
+        parent_value_exprs={
+            "user_bucket": (F.col("dim_value").cast("int") % 5).cast("string")
+        },
+        summary_size=SUMMARY_SIZE,
+    )
+    return rca.select(
+        _epoch().alias("window_start_epoch"),
+        "dimension_group",
+        "dim_name",
+        "dim_value",
+        F.col("dim_level").cast("long").alias("dim_level"),
+        _r4("current_value").alias("current_value"),
+        _r4("baseline_value").alias("baseline_value"),
+        _r4("cost").alias("cost"),
+        "value_change_pct",
+        "contribution_change_pct",
+        "contribution_to_overall_change_pct",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------- macrobase over event windows
+
+def q_macrobase_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MacroBase chain (scorer -> percentile classifier ->
+    emerging-itemsets RCA) over the event stream's window aggregates.
+    Stateful/iterative — no SQL oracle (rows-only check); golden
+    coverage lives in tests/test_macrobase_chain.py."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
+        SummarizerSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    records = _events(spark, sf_dir)
+    aggs = long_form_window_aggs(records, events_config(), SIZE_S, SLIDE_S)
+    tail = TailConfig(
+        mode="macrobase",
+        detector_spec=EWFeatureSpec(
+            warmup_count=100, sample_size=1000, decay_period=1000,
+            decay_rate=0.01, training_period=1000, percentile=0.99,
+        ),
+        summarizer_spec=SummarizerSpec(
+            summary_update_period=100, decay_rate=0.01,
+            outlier_item_summary_size=1000, inlier_item_summary_size=1000,
+            min_oi_ratio=1, min_support=0.05,
+            attributes=["event_type", "user_bucket"],
+            attribute_combinations=True, summary_generation_period=500,
+        ),
+    )
+    return make_batch_tail(aggs, tail)
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_simple_contributors(spark, "/root/testdata/sf0.001")
@@ -185,7 +428,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimension_breakdown": q_dimension_breakdown,
         "dimension_breakdown_salted": q_dimension_breakdown_salted,
         "simple_contributors": q_simple_contributors,
+        "hierarchical_contributors": q_hierarchical_contributors,
         "session_windows": q_session_windows,
+        "macrobase_summaries": q_macrobase_summaries,
+        "exact_duplicates": q_exact_duplicates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "embedding_topk_brute": q_embedding_topk_brute,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "media_features": q_media_features,
     }
 
 
@@ -297,6 +552,206 @@ FROM s GROUP BY user_id, sid
 """
 
 
+
+
+_EXACT_DUP_SQL = f"""
+WITH corpus AS ({_DOC_CORPUS_SQL}),
+h AS (SELECT doc_id, sha256(text) AS _h FROM corpus),
+g AS (SELECT _h, count(*) AS group_size, min(doc_id) AS group_min_id FROM h GROUP BY _h)
+SELECT doc_id, group_size, group_min_id FROM h JOIN g USING (_h) WHERE group_size > 1
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH corpus AS ({_DOC_CORPUS_SQL}),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM toks, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000),
+shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, x.n AS n_a, y.n AS n_b,
+       floor(n_common*1.0/(x.n + y.n - n_common)*10000 + 0.5)/10000 AS jaccard
+FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+WHERE n_common*1.0/(x.n + y.n - n_common) >= 0.3
+"""
+
+_STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+_TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]')) AS n_pieces,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+         len(list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       x -> list_contains({_STOPLIST_SQL}, x)))) AS n_stop
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_chars, n_tokens, n_pieces,
+         CASE WHEN n_chars > 0 THEN n_punct*1.0/n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN n_stop*1.0/n_tokens ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1))*1.0/n_tokens ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_pieces,
+       floor(punct_ratio*1000000 + 0.5)/1000000 AS punct_ratio,
+       floor(stop_ratio*1000000 + 0.5)/1000000 AS stopword_ratio,
+       floor(mean_token_len*1000000 + 0.5)/1000000 AS mean_token_len,
+       floor((least(n_tokens/100.0, 1.0)*0.5
+              + (1.0 - least(punct_ratio*5, 1.0))*0.25
+              + least(stop_ratio*5, 1.0)*0.25)*1000000 + 0.5)/1000000 AS quality_score
+FROM ratios
+"""
+
+_EMB_BRUTE_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0
+),
+s AS (
+  SELECT query_id, e.vec_id,
+         list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cosine
+  FROM q, embeddings e
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, floor(cosine*10000 + 0.5)/10000 AS cosine, rank
+FROM r WHERE rank <= 10
+"""
+
+_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(greatest(1, floor(sqrt(octet_length(encode(text))))) AS INTEGER) AS width,
+       CAST(greatest(1, octet_length(encode(text)) //
+            greatest(1, floor(sqrt(octet_length(encode(text))))::BIGINT)) AS INTEGER) AS height,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+_HEV = ("SELECT ts, value, event_type, CAST(user_id % 5 AS VARCHAR) AS user_band, "
+        "CAST(user_id % 10 AS VARCHAR) AS user_bucket FROM events")
+
+_HLF = f"""
+  SELECT CAST(floor(epoch(ts)/60)*60 - 60*k AS BIGINT) AS ws, value, event_type, user_band, user_bucket
+  FROM ({_HEV}), UNNEST([0,1,2,3,4]) AS t(k)
+"""
+
+_HBD = f"""
+  SELECT ws, dim_name, dim_value, sum(value) AS dim_sum FROM (
+    SELECT ws, 'event_type' AS dim_name, event_type AS dim_value, value FROM ({_HLF})
+    UNION ALL
+    SELECT ws, 'user_band', user_band, value FROM ({_HLF})
+    UNION ALL
+    SELECT ws, 'user_bucket', user_bucket, value FROM ({_HLF})
+  ) GROUP BY 1, 2, 3
+"""
+
+_HIER_CONTRIBUTORS_SQL = f"""
+WITH wb AS ({_WB}),
+stats AS (SELECT avg(current) AS avgc FROM ({_TOT})),
+alerts AS (
+  SELECT ws, window_idx, current AS current_total, baseline AS baseline_total
+  FROM wb, stats WHERE current > 2*avgc OR current < 0.2*avgc
+),
+bdi AS (SELECT bd.*, wb.window_idx FROM ({_HBD}) bd JOIN wb ON bd.ws = wb.ws),
+cur AS (SELECT window_idx AS tidx, dim_name, dim_value, dim_sum AS dim_current FROM bdi),
+fut AS (
+  SELECT window_idx + k AS tidx, dim_name, dim_value, dim_sum
+  FROM bdi, UNNEST([1,2,3,4,5,6,7,8,9]) AS t(k)
+),
+tr AS (SELECT tidx, dim_name, dim_value, sum(dim_sum) AS tsum FROM fut GROUP BY 1,2,3),
+grid AS (
+  SELECT tidx, dim_name, dim_value,
+         COALESCE(c.dim_current, 0) AS dim_current, t.tsum
+  FROM cur c FULL OUTER JOIN tr t USING (tidx, dim_name, dim_value)
+),
+wbb AS (
+  SELECT g.*, wb.ws, wb.rbo,
+         CASE WHEN wb.rbo > 0 THEN COALESCE(g.tsum, 0) / wb.rbo END AS dim_baseline
+  FROM grid g JOIN wb ON g.tidx = wb.window_idx
+),
+joined AS (
+  SELECT w.ws, a.current_total, a.baseline_total, w.dim_name, w.dim_value,
+         w.dim_current, w.dim_baseline,
+         CASE WHEN w.dim_name = 'user_bucket' THEN 'user_band' END AS parent_name,
+         CASE WHEN w.dim_name = 'user_bucket'
+              THEN CAST(CAST(w.dim_value AS INT) % 5 AS VARCHAR) END AS parent_value,
+         CASE w.dim_name WHEN 'event_type' THEN 'type' ELSE 'user' END AS dim_group,
+         CASE w.dim_name WHEN 'user_bucket' THEN 2 ELSE 1 END AS dim_level
+  FROM wbb w JOIN alerts a ON w.ws = a.ws
+),
+withparent AS (
+  SELECT j.*, floor(p.dim_current*1000000 + 0.5)/1000000 AS parent_cur,
+         floor(COALESCE(p.dim_baseline, 0)*1000000 + 0.5)/1000000 AS parent_base
+  FROM joined j
+  LEFT JOIN wbb p ON p.ws = j.ws AND p.dim_name = j.parent_name
+                  AND p.dim_value = j.parent_value
+),
+st AS (
+  SELECT ws, dim_group, dim_level, dim_name, dim_value,
+         floor(dim_current*1000000 + 0.5)/1000000 AS cv,
+         floor(COALESCE(dim_baseline, 0)*1000000 + 0.5)/1000000 AS bv,
+         floor(current_total*1000000 + 0.5)/1000000 AS ct,
+         floor(baseline_total*1000000 + 0.5)/1000000 AS bt,
+         CASE WHEN dim_level = 1 THEN floor(current_total*1000000 + 0.5)/1000000
+              ELSE COALESCE(parent_cur, 0) END AS p_cur,
+         CASE WHEN dim_level = 1 THEN floor(baseline_total*1000000 + 0.5)/1000000
+              ELSE COALESCE(parent_base, 0) END AS p_base
+  FROM withparent
+),
+pct AS (
+  SELECT *,
+    CASE WHEN bv != 0 THEN floor((cv - bv)/bv*100*10000 + 0.5)/10000 END AS vcp,
+    CASE WHEN ct != 0 AND bt != 0 THEN floor((cv/ct - bv/bt)*100*10000 + 0.5)/10000 END AS ccp,
+    CASE WHEN bt != 0 AND ct != bt THEN floor((cv - bv)/abs(ct - bt)*100*10000 + 0.5)/10000 END AS ctoc,
+    CASE WHEN (CASE WHEN p_base != 0 THEN p_cur/p_base END) IS NULL
+           OR (CASE WHEN p_base != 0 THEN p_cur/p_base END) = 0
+         THEN 1.0 ELSE p_cur/p_base END AS r,
+    CASE WHEN abs((bv + cv)/(bt + ct)) < 0.00001 THEN 0.0 ELSE (bv + cv)/(bt + ct) END AS contribution
+  FROM st
+),
+costed AS (
+  SELECT *,
+    CASE WHEN abs(ctoc) < 3 THEN 0.0 ELSE
+      CASE
+        WHEN bv != 0 AND cv != 0 THEN
+          (cv - r*bv) * (CASE WHEN (cv/(r*bv) - 1.0)*contribution + 1.0 > 0
+                              THEN ln((cv/(r*bv) - 1.0)*contribution + 1.0) END)
+        WHEN bv = 0 THEN
+          cv * (CASE WHEN (CASE WHEN r > 1 THEN 2 - r ELSE r END) > 0
+                     THEN ln(CASE WHEN r > 1 THEN 2 - r ELSE r END) END)
+        ELSE
+          -bv * (CASE WHEN (CASE WHEN r < 1 THEN 2 - r ELSE r END) > 0
+                      THEN ln(CASE WHEN r < 1 THEN 2 - r ELSE r END) END)
+      END
+    END AS cost
+  FROM pct
+)
+SELECT ws AS window_start_epoch, dim_group AS dimension_group, dim_name, dim_value,
+       CAST(dim_level AS BIGINT) AS dim_level,
+       floor(cv*10000 + 0.5)/10000 AS current_value,
+       floor(bv*10000 + 0.5)/10000 AS baseline_value,
+       floor(cost*10000 + 0.5)/10000 AS cost,
+       vcp AS value_change_pct, ccp AS contribution_change_pct,
+       ctoc AS contribution_to_overall_change_pct,
+       row_number() OVER (PARTITION BY ws, dim_group ORDER BY cost DESC, dim_name, dim_value) AS rank
+FROM costed
+WHERE cost > 0
+QUALIFY rank <= {SUMMARY_SIZE}
+"""
+
 def oracle_sql() -> dict[str, str]:
     breakdown_sql = f"""
         SELECT ws AS window_start_epoch, dim_name, dim_value,
@@ -332,5 +787,14 @@ def oracle_sql() -> dict[str, str]:
         "dimension_breakdown": breakdown_sql,
         "dimension_breakdown_salted": breakdown_sql,
         "simple_contributors": _SIMPLE_CONTRIBUTORS_SQL,
+        "hierarchical_contributors": _HIER_CONTRIBUTORS_SQL,
         "session_windows": _SESSION_SQL,
+        "exact_duplicates": _EXACT_DUP_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "embedding_topk_brute": _EMB_BRUTE_SQL,
+        "media_features": _MEDIA_SQL,
+        # macrobase_summaries / minhash_lsh / simhash / language_id /
+        # fingerprints / embedding_topk_lsh: stateful or engine-hash
+        # based -> rows-only check; recall/goldens covered in pytest
     }

@@ -174,8 +174,10 @@ def hierarchical_contributors(
         F.col("window_start").alias("_pws"),
         F.col("dim_name").alias("_pname"),
         F.col("dim_value").alias("_pvalue"),
-        F.col("dim_current").alias("_parent_current"),
-        F.coalesce(F.col("dim_baseline"), F.lit(0.0)).alias("_parent_baseline"),
+        # parents quantized like the child stats inputs — unrounded
+        # parent ratios can flip near-zero cost signs between engines
+        _jround6(F.col("dim_current")).alias("_parent_current"),
+        _jround6(F.coalesce(F.col("dim_baseline"), F.lit(0.0))).alias("_parent_baseline"),
     )
     j = j.join(
         parents,

@@ -1,0 +1,270 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Not in the reference (its feed is TPC-DS rows); these are the
+operations a 10^12-document crawl pipeline needs before the AD+RCA
+engine sees the data. All hot paths are JVM-side column expressions
+(shingling via `transform`/`slice`, hashing via `xxhash64`,
+Hamming via `bit_count(a ^ b)`) — no Python in the per-row path.
+
+Scale notes:
+- exact: one shuffle on a 64-bit content hash; dup groups are tiny.
+- minhash LSH: signature is 64 expressions over the shingle-hash
+  array (map-side); the only shuffle is the (band_idx, band_hash)
+  candidate grouping — standard banding, skew-safe because hot bands
+  are capped by `max_group` before pair expansion.
+- simhash: 64 per-bit vote aggregations (one shuffle on doc token
+  pairs), candidate pairs via 4x16-bit band blocking.
+- n-gram jaccard: shingle-inverted-index self-join; the shuffle key is
+  the shingle, pruned to shingles with document frequency <= df_cap to
+  bound hot-key fan-out (explicit skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-31 modulus: universal-hash products (h*a) stay < 2^62, in
+# int64 range (ANSI mode rejects the overflowing 61-bit variant)
+MERSENNE_P = (1 << 31) - 1
+
+
+def token_shingles(text_col, n: int = 3):
+    """Distinct n-token shingles, JVM-side: split -> slice windows."""
+    tokens = F.split(F.trim(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash group-by: (doc_id, dup_group_size,
+    group_min_id) for every doc belonging to a duplicate group."""
+    h = docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("_h")
+    )
+    groups = h.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("group_min_id")
+    )
+    return (
+        h.join(groups, "_h")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "group_size", "group_min_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 10_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted
+    index: |A ∩ B| from the self-join, |A|,|B| from per-doc counts.
+    Shingles hotter than df_cap documents are dropped before the join
+    (hot-key guard; a shingle shared by everyone carries no signal)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sh_pruned = sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle", "left_semi")
+
+    a = sh_pruned.alias("a")
+    b = sh_pruned.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Per-doc minhash signature: shingle -> xxhash64 -> num_hashes
+    universal-hash mins, all inside one projection (no shuffle)."""
+    params = _minhash_params(num_hashes, seed)
+    hashes = F.transform(
+        token_shingles(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+    )
+    def _universal(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, _universal(a, b))) for (a, b) in params]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    max_group: int = 1000,
+) -> DataFrame:
+    """Banding LSH: signature -> (band_idx, band_hash) buckets ->
+    candidate pairs with estimated jaccard = matching minhash fraction.
+    Buckets larger than max_group are dropped (hot-bucket guard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col, seed)
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[i * rows_per_band + j]
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "signature", "band.band_idx", "band.band_hash")
+
+    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(
+        sizes.filter(F.col("_n") <= max_group), ["band_idx", "band_hash"], "left_semi"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("_sa"),
+            F.col("b.signature").alias("_sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash of whitespace tokens, JVM-side: per-bit weighted
+    votes folded with aggregate() over the token array."""
+    tokens = F.split(F.trim(text_col), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    def _vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote(j)) for j in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, vote in enumerate(bit_votes):
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit band blocking (any pair
+    within Hamming distance 3 shares at least one exact 16-bit band),
+    exact Hamming via bit_count(xor)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash")
+    )
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -237,6 +237,44 @@ def rows_to_windows(pdf: pd.DataFrame) -> Iterator[tuple[int, float, int, dict]]
         yield int(ws), current, records, breakdown
 
 
+_OUT_DTYPES = {
+    "row_type": "object", "seq": "int64", "window_start_epoch": "int64",
+    "current": "float64", "baseline": "float64",
+    "records_in_baseline_offset": "int32", "is_outlier": "object",
+    "score": "float64", "support": "float64", "num_records": "float64",
+    "ratio_to_inliers": "float64", "n_dims": "float64", "summary_id": "float64",
+    "dim_name": "object", "dim_value": "object", "cost": "float64",
+    "current_value": "float64", "baseline_value": "float64",
+}
+
+
+def _typed_frame(rows: list[dict[str, Any]]) -> pd.DataFrame:
+    if rows:
+        return pd.DataFrame(rows, columns=_OUT_COLUMNS)
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _OUT_DTYPES.items()})
+
+
+def make_batch_tail(aggs_df, config: TailConfig):
+    """Batch replay of the streaming tail — the same StreamingTail code
+    path via single-group applyInPandas (no state store). Used as the
+    deterministic oracle for the streaming job and as the batch-mode
+    MacroBase query."""
+    from pyspark.sql import functions as F
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        tail = StreamingTail(config)
+        out: list[dict[str, Any]] = []
+        for ws, current, records, breakdown in rows_to_windows(pdf):
+            out.extend(tail.process_window(ws, current, records, breakdown))
+        return _typed_frame(out)
+
+    return (
+        aggs_df.withColumn("_k", F.lit(0))
+        .groupBy("_k")
+        .applyInPandas(lambda _key, pdf: fn(pdf), tail_output_schema())
+    )
+
+
 def make_tail_fn(config: TailConfig):
     """Builds the applyInPandasWithState function. State schema:
     (version int, blob binary)."""
