@@ -405,11 +405,11 @@ def q_macrobase_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             decay_rate=0.01, training_period=1000, percentile=0.99,
         ),
         summarizer_spec=SummarizerSpec(
-            summary_update_period=100, decay_rate=0.01,
+            summary_update_period=500, decay_rate=0.01,
             outlier_item_summary_size=1000, inlier_item_summary_size=1000,
-            min_oi_ratio=1, min_support=0.05,
+            min_oi_ratio=1, min_support=0.1,
             attributes=["event_type", "user_bucket"],
-            attribute_combinations=True, summary_generation_period=500,
+            attribute_combinations=True, summary_generation_period=5000,
         ),
     )
     return make_batch_tail(aggs, tail)

@@ -148,22 +148,26 @@ class StreamingFPTree:
         # StreamingFPTree.scala:98-127; integer truncation of per-path
         # counts (`pathHead.count.toInt`) kept
         pattern = list(pattern)
+        counts = self.frequent_item_counts
         for i in pattern:
-            if i not in self.frequent_item_counts:
+            if i not in counts:
                 return 0
-        plist = sorted(pattern, key=lambda i: self.frequent_item_order[i])
-        pattern_set = set(pattern)
+        order = self.frequent_item_order
+        plist = sorted(pattern, key=order.__getitem__)
+        pattern_set = frozenset(pattern)
+        n_pattern = len(plist)
         count = 0
         path_head = self.node_headers.get(plist[0])
+        # hot loop: localized attribute access, no helper calls
         while path_head is not None:
             cur = path_head
-            items_to_find = len(plist)
+            items_to_find = n_pattern
             while cur is not None:
                 if cur.item in pattern_set:
                     items_to_find -= 1
-                if items_to_find == 0:
-                    count += int(path_head.count)
-                    break
+                    if items_to_find == 0:
+                        count += int(path_head.count)
+                        break
                 cur = cur.parent
             path_head = path_head.next_link
         return count

@@ -117,17 +117,29 @@ def minhash_signatures(
     """Per-doc minhash signature: shingle -> xxhash64 -> num_hashes
     universal-hash mins, all inside one projection (no shuffle)."""
     params = _minhash_params(num_hashes, seed)
-    hashes = F.transform(
-        token_shingles(F.col(text_col), n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+
+    # two projections: shingle hashes are materialized once, then the
+    # num_hashes universal-hash mins reference the column — without
+    # the barrier Catalyst would inline the shingling+xxhash work into
+    # all 64 expressions (num_hashes x cost per row)
+    with_hashes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            token_shingles(F.col(text_col), n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+        ).alias("_hashes"),
     )
+
     def _universal(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
 
     sig = F.array(
-        *[F.array_min(F.transform(hashes, _universal(a, b))) for (a, b) in params]
+        *[
+            F.array_min(F.transform(F.col("_hashes"), _universal(a, b)))
+            for (a, b) in params
+        ]
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    return with_hashes.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -199,11 +211,11 @@ def minhash_lsh_pairs(
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash of whitespace tokens, JVM-side: per-bit weighted
-    votes folded with aggregate() over the token array."""
-    tokens = F.split(F.trim(text_col), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+def simhash_from_hashes(hashes, bits: int = 64):
+    """Per-bit weighted votes folded with aggregate() over a
+    token-hash array column (pass an attribute reference, not the
+    hash expression itself — it is referenced `bits` times)."""
+
     def _vote(j: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
@@ -229,8 +241,14 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: 4x16-bit band blocking (any pair
     within Hamming distance 3 shares at least one exact 16-bit band),
     exact Hamming via bit_count(xor)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash")
+    with_hashes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("_th"),
+    )
+    sh = with_hashes.select(
+        "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
     )
     banded = sh.select(
         "doc_id",

@@ -218,23 +218,39 @@ class StreamingTail:
 
 def rows_to_windows(pdf: pd.DataFrame) -> Iterator[tuple[int, float, int, dict]]:
     """Group long-form aggregate rows into (window_start, current,
-    records, breakdown) tuples, ascending by window."""
-    for ws, grp in pdf.sort_values("window_start_epoch").groupby(
-        "window_start_epoch", sort=True
-    ):
-        totals = grp[grp.dim_name == TOTAL_DIM]
-        if len(totals) == 0:
+    records, breakdown) tuples, ascending by window. Vectorized
+    (numpy slicing over one sort) — pandas groupby per-group overhead
+    dominates at 10^5 windows."""
+    import numpy as np
+
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values("window_start_epoch", kind="mergesort")
+    ws_arr = pdf["window_start_epoch"].to_numpy()
+    names = pdf["dim_name"].to_numpy()
+    values = pdf["dim_value"].to_numpy()
+    groups = pdf["dim_group"].to_numpy()
+    levels = pdf["dim_level"].to_numpy()
+    sums = pdf["dim_sum"].to_numpy()
+    counts = pdf["dim_count"].to_numpy()
+
+    boundaries = np.flatnonzero(np.diff(ws_arr)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(ws_arr)]])
+    for s, e in zip(starts, ends):
+        current = None
+        breakdown: dict = {}
+        for i in range(s, e):
+            if names[i] == TOTAL_DIM:
+                current = float(sums[i])
+                records = int(counts[i])
+            else:
+                breakdown[
+                    Dimension(names[i], values[i], groups[i], int(levels[i]))
+                ] = float(sums[i])
+        if current is None:
             continue
-        current = float(totals.dim_sum.iloc[0])
-        records = int(totals.dim_count.iloc[0])
-        dims = grp[grp.dim_name != TOTAL_DIM]
-        breakdown = {
-            Dimension(r.dim_name, r.dim_value, r.dim_group, int(r.dim_level)): float(
-                r.dim_sum
-            )
-            for r in dims.itertuples()
-        }
-        yield int(ws), current, records, breakdown
+        yield int(ws_arr[s]), current, records, breakdown
 
 
 _OUT_DTYPES = {
