@@ -1,0 +1,106 @@
+"""Production streaming job entry point (reference jobs/MainJob.scala).
+
+Submit:
+    spark-submit --py-files engine.zip jobs/run_streaming.py \
+        --input /data/pages --work /data/ad_rca \
+        --detector threshold --min 0 --max 50000 \
+        --window 300 --slide 60 --watermark "10 minutes"
+
+On a real cluster the source/sinks are Iceberg tables (swap
+read_pages_stream / the foreachBatch sink for format("iceberg") —
+jars not present in this sandbox image). Package the engine with:
+    cd /root/repo && zip -r engine.zip online_anomaly_detection_root_cause_analysis_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+    EWFeatureSpec,
+)
+from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
+    SummarizerSpec,
+)
+from online_anomaly_detection_root_cause_analysis_spark.config import web_pages_config
+from online_anomaly_detection_root_cause_analysis_spark.session import get_spark
+from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+    read_pages_stream,
+)
+from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+    build_page_records,
+)
+from online_anomaly_detection_root_cause_analysis_spark.streaming.job import StreamingJob
+from online_anomaly_detection_root_cause_analysis_spark.streaming.listener import (
+    LineageMetricsListener,
+)
+from online_anomaly_detection_root_cause_analysis_spark.streaming.state import TailConfig
+
+
+def build_tail(args: argparse.Namespace) -> TailConfig:
+    if args.detector == "threshold":
+        return TailConfig(
+            mode="threshold",
+            baseline_n=args.baseline_n,
+            min_value=args.min,
+            max_value=args.max,
+            summary_size=args.summary_size,
+        )
+    # MainJob.scala:26-58 default MacroBase hyper-parameters
+    return TailConfig(
+        mode="macrobase",
+        baseline_n=args.baseline_n,
+        summary_size=args.summary_size,
+        detector_spec=EWFeatureSpec(
+            warmup_count=100, sample_size=1000, decay_period=10,
+            decay_rate=0.01, training_period=10, percentile=0.9,
+        ),
+        summarizer_spec=SummarizerSpec(
+            summary_update_period=20, decay_rate=0.03,
+            outlier_item_summary_size=1000, inlier_item_summary_size=1000,
+            min_oi_ratio=1, min_support=0.01,
+            attributes=[d.name for d in web_pages_config().dimensions],
+            attribute_combinations=True, summary_generation_period=99,
+        ),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--detector", choices=["threshold", "macrobase"], default="threshold")
+    ap.add_argument("--min", type=float, default=float("-inf"))
+    ap.add_argument("--max", type=float, default=float("inf"))
+    ap.add_argument("--window", type=int, default=300)
+    ap.add_argument("--slide", type=int, default=60)
+    ap.add_argument("--watermark", default="0 seconds")
+    ap.add_argument("--baseline-n", type=int, default=10)
+    ap.add_argument("--summary-size", type=int, default=5)
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="online-ad-rca")
+    spark.streams.addListener(
+        LineageMetricsListener(os.path.join(args.work, "metrics.jsonl"))
+    )
+    cfg = web_pages_config()
+    job = StreamingJob(
+        work_dir=args.work, cfg=cfg, tail=build_tail(args),
+        size_s=args.window, slide_s=args.slide, watermark=args.watermark,
+    )
+    stream = build_page_records(
+        read_pages_stream(spark, args.input, args.max_files_per_trigger), cfg
+    )
+    q1 = job.start_aggregate_query(stream)
+    q2 = job.start_detect_query(spark)
+    print(f"aggregate={q1.id} detect={q2.id}; alerts -> {job.alerts_dir}, rca -> {job.rca_dir}")
+    spark.streams.awaitAnyTermination()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Two-parallelism scaling benchmark (BASELINE.md target: throughput
+scaling efficiency >= 0.8 from N to 4N executors; sandbox proxy =
+local[8] vs local[32], per BASELINE.json north_rule).
+
+Phase A (batch aggregation throughput): the flagship distributed stage
+— pages parquet scan -> extract_text pandas UDF -> long-form windowed
+dimension aggregation -> parquet sink — run in a FRESH JVM per
+parallelism level on identical input. This is the stage that owns
+>99% of the cluster at 100 TB (the stateful tail consumes one row per
+window slide); its scaling is what N->4N executor scaling means for
+this job.
+
+Phase B (streaming, at full parallelism): the end-to-end streaming job
+over time-chunked files; reports finalized windows/sec, alert rows,
+p95 micro-batch duration, and p95 aggs->alerts commit latency.
+
+Usage: python scripts/scaling_bench.py [--pages N] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PHASE_A_WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from online_anomaly_detection_root_cause_analysis_spark.session import get_spark
+from online_anomaly_detection_root_cause_analysis_spark.config import web_pages_config
+from online_anomaly_detection_root_cause_analysis_spark.sources.pages import pages_schema
+from online_anomaly_detection_root_cause_analysis_spark.sources.records import build_page_records
+from online_anomaly_detection_root_cause_analysis_spark.streaming.job import long_form_window_aggs
+
+cpus = {cpus}
+spark = get_spark(app_name=f"scale-{{cpus}}", cpus=cpus, shuffle_partitions=cpus)
+cfg = web_pages_config()
+pages = spark.read.schema(pages_schema()).parquet({pages_path!r})
+n_rows = pages.count()  # warm: JVM + file listing
+records = build_page_records(pages, cfg, use_extracted_text=True)
+aggs = long_form_window_aggs(records, cfg, 300, 60)
+t0 = time.time()
+aggs.write.mode("overwrite").parquet({out_path!r})
+wall = time.time() - t0
+print(json.dumps({{"cpus": cpus, "rows": n_rows, "wall_sec": round(wall, 2),
+                   "rows_per_sec": round(n_rows / wall, 1)}}))
+"""
+
+
+def run_phase_a(pages_path: str, cpus: int, tmp: str) -> dict:
+    out_path = os.path.join(tmp, f"aggs-{cpus}")
+    code = PHASE_A_WORKER.format(
+        repo=REPO, cpus=cpus, pages_path=pages_path, out_path=out_path
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    if res.returncode != 0:
+        raise RuntimeError(res.stderr[-2000:])
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def generate_pages_files(tmp: str, n_pages: int, n_chunks: int = 32) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+        PagesSpec,
+        generate_pages,
+    )
+
+    pdf = generate_pages(PagesSpec(n_pages=n_pages)).sort_values("warc_ts")
+    path = os.path.join(tmp, "pages")
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            f = os.path.join(path, f"chunk-{i:05d}.parquet")
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), f)
+            os.utime(f, (1e9 + i, 1e9 + i))
+    return path
+
+
+PHASE_B_WORKER = """
+import glob, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from online_anomaly_detection_root_cause_analysis_spark.session import get_spark
+from online_anomaly_detection_root_cause_analysis_spark.config import web_pages_config
+from online_anomaly_detection_root_cause_analysis_spark.sources.pages import read_pages_stream
+from online_anomaly_detection_root_cause_analysis_spark.sources.records import build_page_records
+from online_anomaly_detection_root_cause_analysis_spark.streaming.job import StreamingJob
+from online_anomaly_detection_root_cause_analysis_spark.streaming.state import TailConfig
+from online_anomaly_detection_root_cause_analysis_spark.streaming.listener import LineageMetricsListener
+
+cpus = {cpus}
+work = {work!r}
+spark = get_spark(app_name="stream-bench", cpus=cpus, shuffle_partitions=cpus)
+listener = LineageMetricsListener(os.path.join(work, "metrics.jsonl"))
+spark.streams.addListener(listener)
+cfg = web_pages_config()
+job = StreamingJob(work_dir=work, cfg=cfg,
+                   tail=TailConfig(mode="threshold", min_value=0, max_value=1e9),
+                   size_s=300, slide_s=60)
+stream = build_page_records(read_pages_stream(spark, {pages_path!r}, max_files_per_trigger=8), cfg)
+t0 = time.time()
+q1 = job.start_aggregate_query(stream)
+q1.processAllAvailable(); q1.stop()
+t_agg = time.time() - t0
+# the serial tail shuffles one key; don't pay 32 state-store partitions
+spark.conf.set("spark.sql.shuffle.partitions", "4")
+q2 = job.start_detect_query(spark)
+q2.processAllAvailable(); q2.stop()
+t_all = time.time() - t0
+
+import pyarrow.parquet as pq
+n_windows = len(set(pq.read_table(job.aggs_dir, columns=["window_start_epoch"]) ["window_start_epoch"].to_pylist()))
+alerts = glob.glob(os.path.join(job.alerts_dir, "part-*.parquet"))
+n_alerts = sum(pq.read_table(f).num_rows for f in alerts)
+
+# per-commit latency: aggs file mtime -> alerts marker mtime (same batch seq)
+agg_files = sorted(glob.glob(os.path.join(job.aggs_dir, "part-*.parquet")))
+alert_markers = sorted(glob.glob(os.path.join(job.alerts_dir, "_committed_*")))
+lats = []
+for i, m in enumerate(alert_markers):
+    if i < len(agg_files):
+        lats.append(os.path.getmtime(m) - os.path.getmtime(agg_files[i]))
+lats.sort()
+p95 = lats[int(0.95 * (len(lats) - 1))] if lats else None
+
+# micro-batch p95 from listener
+durs = []
+for line in open(os.path.join(work, "metrics.jsonl")):
+    rec = json.loads(line)
+    if rec.get("event") == "progress" and rec.get("duration_ms"):
+        durs.append(rec["duration_ms"].get("triggerExecution", 0))
+durs.sort()
+p95_batch = durs[int(0.95 * (len(durs) - 1))] if durs else None
+
+print(json.dumps({{"cpus": cpus, "n_windows": n_windows, "n_alerts": n_alerts,
+                   "agg_wall_sec": round(t_agg, 2), "total_wall_sec": round(t_all, 2),
+                   "windows_per_sec": round(n_windows / t_all, 2),
+                   "p95_commit_latency_sec": round(p95, 3) if p95 else None,
+                   "p95_trigger_ms": p95_batch}}))
+"""
+
+
+def run_phase_b(pages_path: str, cpus: int, tmp: str) -> dict:
+    work = os.path.join(tmp, f"stream-{cpus}")
+    code = PHASE_B_WORKER.format(repo=REPO, cpus=cpus, work=work, pages_path=pages_path)
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    if res.returncode != 0:
+        raise RuntimeError(res.stderr[-2000:])
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=600_000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="scaling-bench-")
+    t0 = time.time()
+    pages_path = generate_pages_files(tmp, args.pages)
+    print(f"generated {args.pages} pages in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # N -> 4N at two operating points: 2->8 cores is the clean 4x
+    # proxy on one box; 8->32 additionally exercises (and documents)
+    # single-box memory-bandwidth saturation, which a real 4x-executor
+    # cluster does not share (each executor brings its own memory bus)
+    a2 = run_phase_a(pages_path, 2, tmp)
+    print("phase A local[2]:", a2, file=sys.stderr)
+    a8 = run_phase_a(pages_path, 8, tmp)
+    print("phase A local[8]:", a8, file=sys.stderr)
+    a32 = run_phase_a(pages_path, 32, tmp)
+    print("phase A local[32]:", a32, file=sys.stderr)
+
+    stream = run_phase_b(pages_path, 32, tmp)
+    print("phase B:", stream, file=sys.stderr)
+    stream_lo = run_phase_b(pages_path, 8, tmp)
+    print("phase B local[8]:", stream_lo, file=sys.stderr)
+
+    result = {
+        "pages": args.pages,
+        "batch_aggregation": {
+            "local2": a2,
+            "local8": a8,
+            "local32": a32,
+            "speedup_2_to_8": round(a2["wall_sec"] / a8["wall_sec"], 3),
+            "efficiency_2_to_8_vs_4x": round(a2["wall_sec"] / a8["wall_sec"] / 4.0, 3),
+            "speedup_8_to_32": round(a8["wall_sec"] / a32["wall_sec"], 3),
+            "efficiency_8_to_32_vs_4x": round(a8["wall_sec"] / a32["wall_sec"] / 4.0, 3),
+        },
+        "streaming": {"local32": stream, "local8": stream_lo},
+    }
+    out = json.dumps(result)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

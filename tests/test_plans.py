@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the scale assumptions must be visible
+in the physical plan — column pruning reaches the parquet scan (never
+read `html`/`text` when the metric is precomputed), small sides
+broadcast, aggregations are partial+final, the hot paths stay in
+whole-stage codegen."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as e
+from online_anomaly_detection_root_cause_analysis_spark.plans import (
+    explain_str,
+    plan_has,
+    read_schema_columns,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_events_scan_prunes_columns(spark):
+    df = e.q_sliding_window_sum(spark, SF_DIR)
+    scans = read_schema_columns(df)
+    assert scans, "expected a parquet scan"
+    for cols in scans:
+        # only ts + value needed; props/event json must not be read
+        assert "props" not in cols
+        assert "event_id" not in cols
+
+
+def test_window_agg_is_partial_final(spark):
+    df = e.q_sliding_window_sum(spark, SF_DIR)
+    plan = explain_str(df)
+    # partial + final HashAggregate pair (map-side combine) around one
+    # exchange; windows assigned via Expand, not a UDF
+    assert plan.count("HashAggregate") >= 2
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_breakdown_stays_jvm_side(spark):
+    df = e.q_dimension_breakdown(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # no pandas UDF either
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rca_joins_broadcast_alerts(spark):
+    df = e.q_simple_contributors(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pages_metric_path_never_reads_html(spark, tmp_path):
+    from online_anomaly_detection_root_cause_analysis_spark.config import (
+        web_pages_config,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        sliding_window_totals,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+        PagesSpec,
+        write_pages,
+        read_pages,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+        build_page_records,
+    )
+
+    path = str(tmp_path / "pages")
+    write_pages(spark, path, PagesSpec(n_pages=500), partitions=2)
+    cfg = web_pages_config()
+    # default path uses the materialized text column: the binary html
+    # column must be pruned out of the scan entirely (the single
+    # biggest I/O lever at web scale, SURVEY.md §4.1)
+    records = build_page_records(read_pages(spark, path), cfg)
+    totals = sliding_window_totals(records, 300, 60)
+    for cols in read_schema_columns(totals):
+        assert "html" not in cols
+
+
+def test_dedup_hot_path_no_python(spark):
+    df = e.q_minhash_lsh(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
