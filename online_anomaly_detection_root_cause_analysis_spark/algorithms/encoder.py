@@ -17,9 +17,21 @@ from .models import Dimension
 GroupLevelResolver = Callable[[str], tuple[str, int]]
 
 
+class ConstantResolver:
+    """Picklable resolver (encoder state is pickled into the streaming
+    state store). The reference's CSV-test behavior
+    (IntegerEncoder.scala:50-52)."""
+
+    def __init__(self, group: str = "column", level: int = 1) -> None:
+        self.group = group
+        self.level = level
+
+    def __call__(self, _name: str) -> tuple[str, int]:
+        return (self.group, self.level)
+
+
 def constant_resolver(group: str = "column", level: int = 1) -> GroupLevelResolver:
-    """The reference's CSV-test behavior (IntegerEncoder.scala:50-52)."""
-    return lambda _name: (group, level)
+    return ConstantResolver(group, level)
 
 
 class IntegerEncoder:
