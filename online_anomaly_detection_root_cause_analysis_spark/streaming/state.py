@@ -307,6 +307,6 @@ def make_tail_fn(config: TailConfig):
                 out_rows.extend(tail.process_window(ws, current, records, breakdown))
         state.update((PICKLE_VERSION, pickle.dumps(tail)))
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=_OUT_COLUMNS)
+            yield _typed_frame(out_rows)
 
     return fn

@@ -54,13 +54,12 @@ def run_once():
     aggs = long_form_window_aggs(records, cfg, 300, 60)
     aggs.write.mode("overwrite").parquet({out_path!r})
     docs = pages.select(F.col("url").alias("doc_id"), "text")
-    minhash_signatures(docs, n=3, num_hashes=64, id_col="doc_id").select(
+    minhash_signatures(docs, n=3, num_hashes=16, id_col="doc_id").select(
         F.max(F.element_at("signature", 1))
     ).collect()
     return time.time() - t0
 
-walls = sorted(run_once() for _ in range(2))
-wall = walls[0]  # best-of-2 inside one JVM damps host noise
+wall = run_once()
 print(json.dumps({{"cpus": cpus, "rows": n_rows, "wall_sec": round(wall, 2),
                    "rows_per_sec": round(n_rows / wall, 1)}}))
 """
