@@ -118,17 +118,34 @@ def minhash_signatures(
     universal-hash mins, all inside one projection (no shuffle)."""
     params = _minhash_params(num_hashes, seed)
 
-    # explode shingle hashes to rows, then num_hashes min-aggregations
-    # in one whole-stage-codegen'd groupBy. Array higher-order
-    # functions (transform/array_min) are interpreted per element in
-    # Spark — measured ~100x slower than this row form for 64 hashes.
-    # The shuffle key is doc_id (uniform); partial aggregation means
-    # each mapper emits one row per (doc, partition).
-    exploded = docs.select(
+    # Fully whole-stage-codegen'd shape (no higher-order array
+    # functions — those evaluate interpreted per element and, measured
+    # here, anti-scale with thread count):
+    #   posexplode tokens -> token hashes -> shingle hash = arithmetic
+    #   combination of n consecutive token hashes via lead() windows ->
+    #   num_hashes min-aggregations in one groupBy(doc_id).
+    # min() is duplicate-insensitive, so multiset shingles == the
+    # distinct-shingle semantics of exact Jaccard. One shuffle by
+    # doc_id for the window, reused by the aggregation (same key).
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("_s"),
-    ).select("doc_id", F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
-    mins = exploded.groupBy("doc_id").agg(
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+    ).select(
+        "doc_id", "_pos", F.pmod(F.xxhash64("_t"), F.lit(MERSENNE_P)).alias("_th")
+    )
+    w = W.partitionBy("doc_id").orderBy("_pos")
+    combined = F.col("_th")
+    for k in range(1, n):
+        combined = F.pmod(
+            combined * F.lit(1_000_003) + F.lead("_th", k).over(w),
+            F.lit(MERSENNE_P),
+        )
+    hashed = toks.select("doc_id", combined.alias("_h")).filter(
+        F.col("_h").isNotNull()
+    )
+    mins = hashed.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(
                 f"_m{i}"

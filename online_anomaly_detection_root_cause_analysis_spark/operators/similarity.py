@@ -13,8 +13,36 @@ query is a partition-pruned scan.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def make_bucket_udf(planes: list[list[float]]):
+    """Vectorized hyperplane bucketing: one numpy matmul per Arrow
+    batch (the expression form with aggregate()/zip_with() evaluates
+    interpreted per element — measured 10-100x slower)."""
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, bits)
+    weights = (1 << np.arange(mat.shape[1])).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy())  # (n, dim)
+        bits = arr.astype(np.float64) @ mat > 0
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+@pandas_udf(T.DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    x = np.stack(a.to_numpy()).astype(np.float64)
+    y = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", x, y)
+    den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+    return pd.Series(num / den)
 
 
 def _cosine(a, b):
@@ -101,6 +129,7 @@ def lsh_topk(
     measured vs brute_force_topk in tests; at scale each table is a
     bucket-partitioned table so a probe is a partition-pruned scan."""
     table_planes = [hyperplanes(dim, bits, seed + 97 * t) for t in range(tables)]
+    bucket_udfs = [make_bucket_udf(planes) for planes in table_planes]
     v = F.col(vec_col).cast("array<double>")
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -110,9 +139,9 @@ def lsh_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        lsh_bucket_col(v, planes).alias("bucket"),
+                        bucket_udfs[t](v).alias("bucket"),
                     )
-                    for t, planes in enumerate(table_planes)
+                    for t in range(tables)
                 ]
             )
         ).alias("tb"),
@@ -127,9 +156,9 @@ def lsh_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        lsh_bucket_col(qv, planes).alias("qbucket"),
+                        bucket_udfs[t](qv).alias("qbucket"),
                     )
-                    for t, planes in enumerate(table_planes)
+                    for t in range(tables)
                 ]
             )
         ).alias("tb"),
@@ -149,9 +178,9 @@ def lsh_topk(
         )
     scored = e.join(
         F.broadcast(q), (e.table_id == q.table_id) & (e.bucket == q.qbucket)
-    ).select(
-        "query_id", "vec_id", _cosine(F.col("qv"), F.col("v")).alias("cosine")
-    ).dropDuplicates(["query_id", "vec_id"])
+    ).dropDuplicates(["query_id", "vec_id"]).select(
+        "query_id", "vec_id", cosine_udf(F.col("qv"), F.col("v")).alias("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
