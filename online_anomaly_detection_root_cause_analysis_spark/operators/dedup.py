@@ -116,8 +116,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 7,
 ) -> DataFrame:
-    """Per-doc minhash signature: shingle -> xxhash64 -> num_hashes
-    universal-hash mins, all inside one projection (no shuffle)."""
+    """Per-doc minhash signature: token hashes -> rolling shingle
+    hashes -> num_hashes universal-hash mins (one doc_id shuffle)."""
     params = _minhash_params(num_hashes, seed)
 
     # Fully whole-stage-codegen'd shape (no higher-order array
