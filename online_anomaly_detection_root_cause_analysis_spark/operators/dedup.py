@@ -68,9 +68,26 @@ def ngram_jaccard_pairs(
     index: |A ∩ B| from the self-join, |A|,|B| from per-doc counts.
     Shingles hotter than df_cap documents are dropped before the join
     (hot-key guard; a shingle shared by everyone carries no signal)."""
-    sh = docs.select(
+    from pyspark.sql import Window as W
+
+    # shingle strings via posexplode + lead() windows (codegen) rather
+    # than the interpreted transform/slice array form; dropDuplicates
+    # reproduces the distinct-shingle set semantics
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+    )
+    w = W.partitionBy("doc_id").orderBy("_pos")
+    parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.when(
+                parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .dropDuplicates(["doc_id", "shingle"])
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
