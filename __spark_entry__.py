@@ -24,10 +24,16 @@ from online_anomaly_detection_root_cause_analysis_spark.operators.contributors i
     hierarchical_contributors,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+    MERSENNE_P,
+    _minhash_params,
     exact_duplicates,
     minhash_lsh_pairs,
+    near_duplicates,
     ngram_jaccard_pairs,
     simhash_pairs,
+)
+from online_anomaly_detection_root_cause_analysis_spark.functions.text import (
+    LANG_MARKERS,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
     extract_media_features,
@@ -242,7 +248,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = minhash_lsh_pairs(_doc_corpus(spark, sf_dir), n=3, num_hashes=64, bands=16)
+    """token_hash='sha' makes every stage (token hash, rolling shingle
+    hash, 64 universal-hash mins, banding, est_jaccard) recomputable in
+    DuckDB — full hash-gate; pytest covers the xxhash64 fast path."""
+    p = minhash_lsh_pairs(
+        _doc_corpus(spark, sf_dir), n=3, num_hashes=64, bands=16, token_hash="sha"
+    )
     return p.select(
         "doc_a", "doc_b",
         (F.floor(F.col("est_jaccard") * 10000.0 + 0.5) / 10000.0).alias("est_jaccard"),
@@ -250,7 +261,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_doc_corpus(spark, sf_dir), max_hamming=3)
+    p = simhash_pairs(_doc_corpus(spark, sf_dir), max_hamming=3, token_hash="sha")
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-candidates -> exact-verify composition; oracle = the same
+    exact corpus-wide pair set (near_duplicates must find all of it)."""
+    p = near_duplicates(_doc_corpus(spark, sf_dir), n=3, threshold=0.3, bands=32)
+    return p.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        (F.floor(F.col("jaccard") * 10000.0 + 0.5) / 10000.0).alias("jaccard"),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macrobase_summaries": q_macrobase_summaries,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_duplicates": q_near_duplicates,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -582,6 +605,139 @@ SELECT doc_a, doc_b, n_common, x.n AS n_a, y.n AS n_b,
 FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
 WHERE n_common*1.0/(x.n + y.n - n_common) >= 0.3
 """
+
+# sha60: DuckDB twin of functions/text.py sha60_col (first 15 hex
+# chars of sha256, parsed base-16 — 60 bits, always in BIGINT range)
+def _sha60(expr: str) -> str:
+    return f"CAST('0x' || substr(sha256({expr}), 1, 15) AS BIGINT)"
+
+
+_FINGERPRINTS_SQL = f"""
+SELECT doc_id, {_sha60('text')} AS fingerprint, sha256(text) AS sha256
+FROM documents
+"""
+
+
+def _language_id_oracle_sql() -> str:
+    """Mirror of language_id_col: per-language marker-count sums via
+    replace-length arithmetic, argmax with first-listed tie-break."""
+    selects = []
+    for ord_idx, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        score = " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}"
+            for m in markers
+        )
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, {ord_idx} AS ord, {score} AS score FROM base"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+long AS ({union}),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord) AS rn
+  FROM long
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'en' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
+def _minhash_lsh_oracle_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, seed: int = 7,
+    max_group: int = 1000,
+) -> str:
+    """Full DuckDB recomputation of minhash_lsh_pairs(token_hash='sha'):
+    same universal-hash params, same integer mod arithmetic, band match
+    on the raw minhash tuples (Spark compresses the band key with
+    xxhash64 — equal tuples hash equal, so the pair sets coincide)."""
+    params = _minhash_params(num_hashes, seed)
+    p = MERSENNE_P
+    comb = "th"
+    for k in range(1, n):
+        comb = f"(({comb}) * 1000003 + lead(th, {k}) OVER w) % {p}"
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    r = num_hashes // bands
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sig, {i} AS band_idx, concat_ws(',', "
+        + ", ".join(f"m{i * r + j}" for j in range(r))
+        + ") AS band_key FROM mins2"
+        for i in range(bands)
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(num_hashes))
+    return f"""
+WITH corpus AS ({_DOC_CORPUS_SQL}),
+tarr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+toks AS (
+  SELECT doc_id, i AS pos, {_sha60('t[i]')} % {p} AS th
+  FROM tarr, unnest(generate_series(1, len(t))) AS u(i)
+),
+sh AS (
+  SELECT doc_id, {comb} AS h
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+mins AS (
+  SELECT doc_id, {mins}
+  FROM sh WHERE h IS NOT NULL GROUP BY doc_id
+),
+mins2 AS (SELECT *, [{sig_list}] AS sig FROM mins),
+banded AS (
+  {band_selects}
+),
+keep AS (SELECT band_idx, band_key FROM banded GROUP BY 1, 2 HAVING count(*) <= {max_group}),
+bk AS (SELECT b.* FROM banded b JOIN keep USING (band_idx, band_key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM bk a JOIN bk b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor(list_sum(list_transform(generate_series(1, {num_hashes}),
+                                     i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))
+             * 1.0 / {num_hashes} * 10000 + 0.5) / 10000 AS est_jaccard
+FROM pairs
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB recomputation of simhash_pairs(token_hash='sha'): 60-bit
+    sha60 token hashes, per-bit vote sums, 4x15-bit band blocking,
+    exact Hamming via bit_count(xor)."""
+    bits, bw = 60, 15
+    mask = (1 << 15) - 1
+    return f"""
+WITH corpus AS ({_DOC_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM corpus
+),
+th AS (SELECT doc_id, {_sha60('tok')} AS h FROM toks),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, {bits - 1})) AS j) bitsrc
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, i AS band_idx, (simhash >> (i * {bw})) & {mask} AS band_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS i) bandsrc
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
 
 _STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
@@ -791,10 +947,17 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": _SESSION_SQL,
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # near_duplicates (LSH candidates -> exact verify) must find
+        # exactly the corpus-wide exact pair set
+        "near_duplicates": _NGRAM_JACCARD_SQL,
+        "minhash_lsh": _minhash_lsh_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "language_id": _language_id_oracle_sql(),
+        "fingerprints": _FINGERPRINTS_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         "media_features": _MEDIA_SQL,
-        # macrobase_summaries / minhash_lsh / simhash / language_id /
-        # fingerprints / embedding_topk_lsh: stateful or engine-hash
-        # based -> rows-only check; recall/goldens covered in pytest
+        # macrobase_summaries (stateful/iterative) and embedding_topk_lsh
+        # (ANN with a recall knob) -> rows-only check; goldens + recall
+        # gates live in pytest
     }

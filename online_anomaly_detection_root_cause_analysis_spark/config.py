@@ -87,6 +87,26 @@ class EngineConfig:
         ]
 
 
+def web_pages_parent_value(child_name: str, child_value: str) -> str:
+    """Parent dimension value derived from the child's, for the web
+    pages hierarchy (tld <- domain <- host). Twin of the column
+    derivations in functions/text.py::url_dimension_cols; module-level
+    so TailConfig stays picklable in the state store."""
+    if child_name == "url_host":
+        return child_value.split(".", 1)[1] if "." in child_value else ""
+    if child_name == "url_domain":
+        return child_value.rsplit(".", 1)[-1]
+    raise KeyError(f"no parent derivation for dimension {child_name!r}")
+
+
+def modulo_parent_value(mod: int, child_name: str, child_value: str) -> str:
+    """Generic bucket -> coarser-band parent derivation (child value
+    interpreted as int, parent = child % mod). Use via
+    functools.partial(modulo_parent_value, mod) — partials of
+    module-level functions pickle cleanly."""
+    return str(int(child_value) % mod)
+
+
 def web_pages_config() -> EngineConfig:
     """The graft input config (SURVEY.md §1.4): Common-Crawl-style pages
     with content/traffic/time dimension groups, hierarchy depth <= 3 —

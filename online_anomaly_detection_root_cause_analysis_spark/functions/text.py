@@ -6,17 +6,16 @@ The graft's analog of the reference's record-building stage
 cube view dsdgen/dw/web_sales_cube_nonull.sql): instead of projecting
 Kafka JSON into typed dimensions, we derive metric + dimensions from
 web-page rows. Everything that built-in `pyspark.sql.functions` can
-express stays JVM-side (whole-stage codegen); only html->text
-extraction, language-ID and fingerprinting are pandas UDFs (Arrow
-batches, numpy inner loops — never per-row Python UDFs, per
-BASELINE.json input_hint).
+express stays JVM-side (whole-stage codegen) — including language-ID
+(marker counting) and fingerprinting (sha60) since round 2; only
+html->text extraction remains a pandas UDF (Arrow batches — never
+per-row Python UDFs, per BASELINE.json input_hint).
 """
 
 from __future__ import annotations
 
 import re
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -102,8 +101,9 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     }
 
 
-# tiny per-language character/stopword profiles for the n-gram heuristic
-_LANG_MARKERS = {
+# tiny per-language marker profiles for the n-gram heuristic; dict
+# order is the deterministic tie-break (first-listed language wins)
+LANG_MARKERS = {
     "en": [" the ", " and ", " of "],
     "de": [" der ", " und ", " die "],
     "el": ["και", "της", "το "],
@@ -115,40 +115,49 @@ _LANG_MARKERS = {
 }
 
 
-@pandas_udf(T.StringType())
-def language_id(text: pd.Series) -> pd.Series:
-    """Marker-n-gram language heuristic (vectorized str.count per
-    marker). Deterministic; defaults to 'en' when nothing matches."""
-    filled = text.fillna("")
-    scores = pd.DataFrame(
-        {
-            lang: sum(filled.str.count(re.escape(m)) for m in markers)
-            for lang, markers in _LANG_MARKERS.items()
-        }
-    )
-    best = scores.idxmax(axis=1)
-    return best.where(scores.max(axis=1) > 0, "en")
+def marker_count_col(text: Column, marker: str) -> Column:
+    """Non-overlapping substring occurrence count, JVM-side:
+    (len(t) - len(replace(t, m, ''))) / len(m). Identical semantics to
+    str.count of the escaped marker."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
 
 
-_FP_MOD = np.uint64((1 << 61) - 1)
-_FP_BASE = np.uint64(1000003)
+def language_id_col(text: Column) -> Column:
+    """Marker-n-gram language heuristic, fully JVM-side (codegen):
+    per-language marker-count sums, argmax via array_max over
+    (score, -order, lang) structs — highest score wins, ties break to
+    the first-listed language; defaults to 'en' when nothing matches."""
+    t = F.coalesce(text, F.lit(""))
+    cands = []
+    for ord_idx, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        score = None
+        for m in markers:
+            c = marker_count_col(t, m)
+            score = c if score is None else score + c
+        cands.append(
+            F.struct(
+                score.alias("s"), F.lit(-ord_idx).alias("o"), F.lit(lang).alias("l")
+            )
+        )
+    best = F.array_max(F.array(*cands))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("en"))
 
 
-@pandas_udf(T.LongType())
-def rolling_fingerprint(text: pd.Series) -> pd.Series:
-    """Polynomial rolling-hash fingerprint of the utf-8 bytes, mod
-    2^61-1 — deterministic document identity for near-dup bookkeeping.
-    numpy inner loop over byte arrays (Arrow-batched)."""
+def sha60_col(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of
+    sha256, parsed base-16 — JVM-side here, and exactly mirrorable in
+    ANSI SQL / DuckDB as CAST('0x' || substr(sha256(x),1,15) AS
+    BIGINT), which is what makes fingerprints and the sha-hashed
+    dedup variants oracle-checkable."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
-    def fp(s: str | None) -> int:
-        if s is None:
-            return 0
-        data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        h = np.uint64(0)
-        # Horner chunks of 1024 bytes keep the loop short in Python
-        for chunk in np.split(data, range(1024, len(data), 1024)):
-            for b in chunk:
-                h = (h * _FP_BASE + b) % _FP_MOD
-        return int(h)
 
-    return text.map(fp).astype("int64")
+def content_fingerprint_col(text: Column) -> Column:
+    """64-bit-range content fingerprint for near-dup bookkeeping
+    (sha60 of the full text). Replaces the round-1 per-byte Python
+    rolling hash (VERDICT r1 'What's wrong' #1): pure JVM codegen, and
+    SQL-expressible so the DuckDB oracle can mirror it."""
+    return sha60_col(text)

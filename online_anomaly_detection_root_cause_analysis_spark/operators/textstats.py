@@ -1,7 +1,7 @@
 """Text-analysis operators over the documents table: quality scoring,
 token counting, language-ID, fingerprinting — the per-document feature
-stage of a training-data pipeline. JVM column math where possible
-(functions/text.py), pandas UDFs only for lang-ID + rolling hash."""
+stage of a training-data pipeline. All JVM column math (codegen, no
+Python in the plan) — see functions/text.py."""
 
 from __future__ import annotations
 
@@ -10,9 +10,9 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     bpe_ish_piece_count_col,
-    language_id,
+    content_fingerprint_col,
+    language_id_col,
     quality_score_cols,
-    rolling_fingerprint,
     token_count_col,
 )
 
@@ -34,13 +34,13 @@ def document_text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "
 def document_language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        language_id(F.col(text_col)).alias("lang_pred"),
+        language_id_col(F.col(text_col)).alias("lang_pred"),
     )
 
 
 def document_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
+        content_fingerprint_col(F.col(text_col)).alias("fingerprint"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
     )

@@ -45,6 +45,45 @@ def build_page_records(
     return out
 
 
+# typed dimension parsers (reference utils/dimension/parsers/
+# {String,Int,Boolean}DimensionParser.scala): every value_type
+# normalizes to string via toString — Spark's boolean/int -> string
+# casts produce the same "true"/"false" and decimal forms
+_DIM_PARSERS = {
+    "string": lambda c: c.cast("string"),
+    "int": lambda c: c.cast("int").cast("string"),
+    "bool": lambda c: c.cast("boolean").cast("string"),
+}
+
+
+def typed_dimension_cols(cfg: EngineConfig) -> dict[str, "F.Column"]:
+    """One parsed column per configured dimension, typed by
+    DimensionSpec.value_type (DimensionsBuilder.scala:10-44)."""
+    return {
+        d.name: _DIM_PARSERS[d.value_type](F.col(d.name)) for d in cfg.dimensions
+    }
+
+
+def build_typed_records(
+    df: DataFrame, cfg: EngineConfig, ts_pattern: str | None = None
+) -> DataFrame:
+    """Config-generic record building: project (ts, value, dims...)
+    purely from EngineConfig — the analog of the reference's
+    config-driven InputRecord construction (InputRecordStreamBuilder
+    .scala:33-41). ts_pattern parses a string timestamp field (the
+    reference's fixed ISO pattern, InputRecord.scala:14-18); omit it
+    when the source column is already a timestamp."""
+    ts_col = F.col(cfg.timestamp_field)
+    if ts_pattern is not None:
+        ts_col = F.to_timestamp(ts_col, ts_pattern)
+    dims = typed_dimension_cols(cfg)
+    return df.select(
+        ts_col.alias("ts"),
+        F.col(cfg.value_field).cast("double").alias("value"),
+        *[c.alias(name) for name, c in dims.items()],
+    )
+
+
 def build_event_records(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) ->
     records with dimensions event_type + user_bucket (user_id % 10)."""

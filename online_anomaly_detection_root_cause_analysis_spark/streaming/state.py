@@ -36,7 +36,10 @@ import pandas as pd
 from ..algorithms.ewfeature import EWFeatureSpec, EWFeatureTransform
 from ..algorithms.ewpercentile import EWAppxPercentileAuxiliary
 from ..algorithms.models import AggregatedRecordsWBaseline, AnomalyEvent, Dimension
-from ..algorithms.stats import simple_contributor_summaries
+from ..algorithms.stats import (
+    hierarchical_contributor_summaries,
+    simple_contributor_summaries,
+)
 from ..algorithms.summarizer import (
     ExponentiallyDecayingEmergingItemsets,
     SummarizerSpec,
@@ -49,12 +52,24 @@ PICKLE_VERSION = 1
 @dataclass
 class TailConfig:
     mode: str = "threshold"  # threshold | macrobase
+    rca_mode: str = "simple"  # simple | hierarchical (threshold-mode RCA;
+    #   reference MainJob.scala:86-110 dispatches hierarchical|simple|macrobase)
     baseline_n: int = 10
     min_value: float = float("-inf")
     max_value: float = float("inf")
     summary_size: int = 5
     detector_spec: EWFeatureSpec | None = None
     summarizer_spec: SummarizerSpec | None = None
+    # hierarchy for rca_mode="hierarchical": child dim name -> parent
+    # dim name, and a PICKLABLE module-level fn (child_name,
+    # child_value) -> parent_value. The reference builds the child ->
+    # parent Dimension map from each record's own values
+    # (DimensionHierarchiesBuilder.scala:9-16); in the tail the parent
+    # value must be derivable from the child value, which holds for
+    # every configured hierarchy (url_host -> url_domain, bucket ->
+    # band, ...).
+    parent_of: dict[str, str] | None = None
+    parent_value_fn: Any = None
 
 
 def tail_output_schema() -> str:
@@ -63,6 +78,7 @@ def tail_output_schema() -> str:
         "baseline double, records_in_baseline_offset int, is_outlier boolean, "
         "score double, support double, num_records double, "
         "ratio_to_inliers double, n_dims int, summary_id long, "
+        "dim_group string, dim_level int, "
         "dim_name string, dim_value string, cost double, "
         "current_value double, baseline_value double"
     )
@@ -72,6 +88,7 @@ _OUT_COLUMNS = [
     "row_type", "seq", "window_start_epoch", "current", "baseline",
     "records_in_baseline_offset", "is_outlier", "score", "support",
     "num_records", "ratio_to_inliers", "n_dims", "summary_id",
+    "dim_group", "dim_level",
     "dim_name", "dim_value", "cost", "current_value", "baseline_value",
 ]
 
@@ -168,6 +185,7 @@ class StreamingTail:
                 current=rec.current,
                 baseline=None if math.isnan(rec.baseline) else rec.baseline,
                 n_dims=len(summaries),
+                dim_group=s.dimension.group, dim_level=s.dimension.level,
                 dim_name=s.dimension.name, dim_value=s.dimension.value,
                 cost=s.cost, current_value=s.current_value,
                 baseline_value=s.baseline_value,
@@ -175,13 +193,80 @@ class StreamingTail:
             rows.append(row)
         return rows
 
+    def _hierarchy(self, dims) -> dict[Dimension, Dimension]:
+        """Child -> parent Dimension map from config (twin of
+        DimensionHierarchiesBuilder.scala:9-16 — root parents omitted,
+        level-1 parents resolve to the window totals)."""
+        cfg = self.config
+        if not cfg.parent_of:
+            return {}
+        out: dict[Dimension, Dimension] = {}
+        for d in dims:
+            pname = cfg.parent_of.get(d.name)
+            if pname is None:
+                continue
+            pval = cfg.parent_value_fn(d.name, d.value)
+            out[d] = Dimension(pname, pval, d.group, d.level - 1)
+        return out
+
+    def _rca_rows_hierarchical(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        """One RCAResult per dimension group (keyByDimensionGroup,
+        HierarchicalContributorsFinder.scala:150-177), flattened to
+        long-form rows."""
+        rows: list[dict[str, Any]] = []
+        groups = sorted(
+            {d.group for d in rec.current_dimensions_breakdown}
+            | {d.group for d in rec.baseline_dimensions_breakdown}
+        )
+        baseline_total = 0.0 if math.isnan(rec.baseline) else rec.baseline
+        hierarchy = self._hierarchy(
+            set(rec.current_dimensions_breakdown) | set(rec.baseline_dimensions_breakdown)
+        )
+        for group in groups:
+            cur = {
+                d: v for d, v in rec.current_dimensions_breakdown.items()
+                if d.group == group
+            }
+            base = {
+                d: v for d, v in rec.baseline_dimensions_breakdown.items()
+                if d.group == group
+            }
+            hier = {c: p for c, p in hierarchy.items() if c.group == group}
+            summaries = hierarchical_contributor_summaries(
+                cur, base, rec.current, baseline_total, hier,
+                self.config.summary_size,
+            )
+            for s in summaries:
+                row = _empty_row()
+                row.update(
+                    row_type="rca", seq=self.seq, window_start_epoch=window_start,
+                    current=rec.current,
+                    baseline=None if math.isnan(rec.baseline) else rec.baseline,
+                    n_dims=len(summaries),
+                    dim_group=group, dim_level=s.dimension.level,
+                    dim_name=s.dimension.name, dim_value=s.dimension.value,
+                    cost=s.cost, current_value=s.current_value,
+                    baseline_value=s.baseline_value,
+                )
+                rows.append(row)
+        return rows
+
+    def _rca_rows(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        if self.config.rca_mode == "hierarchical":
+            return self._rca_rows_hierarchical(window_start, rec)
+        return self._rca_rows_simple(window_start, rec)
+
     def _threshold(
         self, window_start: int, rec: AggregatedRecordsWBaseline
     ) -> list[dict[str, Any]]:
         out: list[dict[str, Any]] = []
         if rec.current < self.config.min_value or rec.current > self.config.max_value:
             out.append(self._alert_row(window_start, rec, True, None))
-            out.extend(self._rca_rows_simple(window_start, rec))
+            out.extend(self._rca_rows(window_start, rec))
         return out
 
     def _macrobase(
@@ -259,6 +344,7 @@ _OUT_DTYPES = {
     "records_in_baseline_offset": "int32", "is_outlier": "object",
     "score": "float64", "support": "float64", "num_records": "float64",
     "ratio_to_inliers": "float64", "n_dims": "float64", "summary_id": "float64",
+    "dim_group": "object", "dim_level": "float64",
     "dim_name": "object", "dim_value": "object", "cost": "float64",
     "current_value": "float64", "baseline_value": "float64",
 }

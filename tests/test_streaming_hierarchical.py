@@ -1,0 +1,198 @@
+"""Streaming hierarchical RCA (VERDICT r1 next-steps #3): the
+reference streaming job dispatches hierarchical | simple | macrobase
+RCA (jobs/MainJob.scala:86-110); TailConfig(rca_mode="hierarchical")
+is the streaming-tail twin of the batch column form
+operators/contributors.py::hierarchical_contributors.
+
+Two gates:
+1. streaming applyInPandasWithState output == pure-Python replay of
+   the same finalized windows (mirror of test_streaming_macrobase);
+2. batch replay of the tail == the oracle-verified batch column form
+   on the events table (same alerts, same ranked dimensions, costs
+   within float tolerance — the column form quantizes stat inputs to
+   6dp, the tail computes on raw doubles).
+"""
+
+from functools import partial
+
+from pyspark.sql import functions as F
+
+from online_anomaly_detection_root_cause_analysis_spark.config import (
+    modulo_parent_value,
+    web_pages_config,
+    web_pages_parent_value,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.baseline import (
+    breakdown_with_baseline,
+    with_offset_baseline,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.contributors import (
+    hierarchical_contributors,
+)
+from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+    dimension_breakdown,
+    sliding_window_totals,
+)
+from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+    PagesSpec,
+    generate_pages,
+    read_pages_stream,
+)
+from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+    build_page_records,
+)
+from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+    StreamingJob,
+    long_form_window_aggs,
+)
+from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+    StreamingTail,
+    TailConfig,
+    make_batch_tail,
+    rows_to_windows,
+)
+
+from .test_streaming import _write_chunks
+
+CFG = web_pages_config()
+
+
+def _pages_tail(max_value: float) -> TailConfig:
+    return TailConfig(
+        mode="threshold",
+        rca_mode="hierarchical",
+        max_value=max_value,
+        parent_of=dict(CFG.hierarchy_pairs()),
+        parent_value_fn=web_pages_parent_value,
+        summary_size=5,
+    )
+
+
+def test_streaming_hierarchical_matches_replay(spark, tmp_path):
+    pdf = generate_pages(PagesSpec(n_pages=1500)).sort_values("warc_ts")
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    _write_chunks(pdf, pages, 5)
+
+    # absolute threshold below the upper-quartile window total so a
+    # healthy share of windows alert
+    records_batch = build_page_records(
+        spark.createDataFrame(pdf), CFG
+    )
+    totals = sliding_window_totals(records_batch, 300, 60)
+    max_value = totals.approxQuantile("current", [0.5], 0.0)[0]
+    tail_cfg = _pages_tail(max_value)
+
+    job = StreamingJob(
+        work_dir=str(tmp_path / "job"), cfg=CFG, tail=tail_cfg,
+        size_s=300, slide_s=60,
+    )
+    stream = build_page_records(read_pages_stream(spark, str(pages)), CFG)
+    q1 = job.start_aggregate_query(stream)
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = job.start_detect_query(spark)
+    q2.processAllAvailable()
+    q2.stop()
+
+    alerts = spark.read.parquet(job.alerts_dir)
+    rca = spark.read.parquet(job.rca_dir)
+    assert alerts.count() > 0
+    assert rca.count() > 0
+    # hierarchical rows carry group + level; levels beyond 1 present
+    assert rca.filter(F.col("dim_level") > 1).count() > 0
+
+    import os
+
+    import pandas as pd
+
+    replay = StreamingTail(tail_cfg)
+    expected = []
+    for f in sorted(os.listdir(job.aggs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
+        if len(chunk) == 0:
+            continue
+        for ws, cur, rec, bd in rows_to_windows(chunk):
+            expected.extend(replay.process_window(ws, cur, rec, bd))
+
+    exp_rca = [e for e in expected if e["row_type"] == "rca"]
+    got = sorted(
+        (r.seq, r.dim_group, r.dim_level, r.dim_name, r.dim_value, f"{r.cost:.6f}")
+        for r in rca.collect()
+    )
+    want = sorted(
+        (e["seq"], e["dim_group"], e["dim_level"], e["dim_name"], e["dim_value"],
+         f"{e['cost']:.6f}")
+        for e in exp_rca
+    )
+    assert got == want
+
+
+def test_batch_tail_matches_column_form(spark):
+    """Python twin vs the (DuckDB-oracle-verified) batch column form,
+    over the sf0.001 events table with the user_bucket -> user_band
+    hierarchy."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    records = df.select(
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+        (F.col("user_id") % 5).cast("string").alias("user_band"),
+        (F.col("user_id") % 10).cast("string").alias("user_bucket"),
+    )
+    import __spark_entry__ as entrymod
+
+    cfg = entrymod.hier_events_config()
+    totals = sliding_window_totals(records, 300, 60)
+    wb = with_offset_baseline(totals, 10)
+    avg = totals.agg(F.avg("current")).collect()[0][0]
+
+    # batch column form with the same absolute thresholds
+    alerts = (
+        wb.filter((F.col("current") > 2 * avg) | (F.col("current") < 0.2 * avg))
+        .withColumn("anomaly_id", F.unix_timestamp("window_start").cast("string"))
+    )
+    bd = dimension_breakdown(records, cfg, 300, 60)
+    bdw = breakdown_with_baseline(bd, wb, 10, targets=alerts)
+    batch = hierarchical_contributors(
+        alerts,
+        bdw,
+        parent_of={"user_bucket": "user_band"},
+        parent_value_exprs={
+            "user_bucket": (F.col("dim_value").cast("int") % 5).cast("string")
+        },
+        summary_size=5,
+    ).collect()
+
+    tail_cfg = TailConfig(
+        mode="threshold",
+        rca_mode="hierarchical",
+        min_value=0.2 * avg,
+        max_value=2 * avg,
+        parent_of={"user_bucket": "user_band"},
+        parent_value_fn=partial(modulo_parent_value, 5),
+        summary_size=5,
+    )
+    aggs = long_form_window_aggs(records, cfg, 300, 60)
+    tail_out = make_batch_tail(aggs, tail_cfg)
+    tail_rca = tail_out.filter(F.col("row_type") == "rca").collect()
+
+    got = {
+        (r.window_start_epoch, r.dim_group, r.dim_name, r.dim_value): r.cost
+        for r in tail_rca
+    }
+    want = {
+        (
+            int(r.window_start.timestamp()),
+            r.dimension_group,
+            r.dim_name,
+            r.dim_value,
+        ): r.cost
+        for r in batch
+    }
+    assert set(got) == set(want)
+    for k, cost in want.items():
+        assert abs(got[k] - cost) <= max(1e-6, 1e-6 * abs(cost)), (k, got[k], cost)
