@@ -26,7 +26,10 @@ from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature imp
 from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
     SummarizerSpec,
 )
-from online_anomaly_detection_root_cause_analysis_spark.config import web_pages_config
+from online_anomaly_detection_root_cause_analysis_spark.config import (
+    web_pages_config,
+    web_pages_parent_value,
+)
 from online_anomaly_detection_root_cause_analysis_spark.session import get_spark
 from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
     read_pages_stream,
@@ -42,13 +45,19 @@ from online_anomaly_detection_root_cause_analysis_spark.streaming.state import T
 
 
 def build_tail(args: argparse.Namespace) -> TailConfig:
+    cfg = web_pages_config()
     if args.detector == "threshold":
+        # --rca dispatches simple | hierarchical like the reference's
+        # MainJob.scala:86-110 RCA-method selection
         return TailConfig(
             mode="threshold",
+            rca_mode=args.rca,
             baseline_n=args.baseline_n,
             min_value=args.min,
             max_value=args.max,
             summary_size=args.summary_size,
+            parent_of=dict(cfg.hierarchy_pairs()) if args.rca == "hierarchical" else None,
+            parent_value_fn=web_pages_parent_value if args.rca == "hierarchical" else None,
         )
     # MainJob.scala:26-58 default MacroBase hyper-parameters
     return TailConfig(
@@ -74,6 +83,7 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--work", required=True)
     ap.add_argument("--detector", choices=["threshold", "macrobase"], default="threshold")
+    ap.add_argument("--rca", choices=["simple", "hierarchical"], default="simple")
     ap.add_argument("--min", type=float, default=float("-inf"))
     ap.add_argument("--max", type=float, default=float("inf"))
     ap.add_argument("--window", type=int, default=300)
