@@ -87,6 +87,47 @@ class EngineConfig:
         ]
 
 
+def config_from_dict(d: dict) -> EngineConfig:
+    """Parse the reference's application.conf input_stream shape
+    (src/main/resources/application.conf:5-33, read by
+    AppConfig.scala:74-81):
+
+        {"timestamp_field": ..., "value_field": ...,
+         "dimensions": {
+             "names": [...],
+             "definitions": {name: {"value_type": ...,
+                                    "parent_dimension": ..., "group": ...}}},
+         "summary_size": 5}
+
+    `names` fixes the dimension order (the reference iterates
+    DIMENSION_NAMES); levels are derived by the same fixpoint."""
+    dims_cfg = d["dimensions"]
+    defs = dims_cfg["definitions"]
+    dims = [
+        DimensionSpec(
+            name,
+            group=defs[name]["group"],
+            parent=defs[name].get("parent_dimension", ROOT),
+            value_type=defs[name].get("value_type", "string"),
+        )
+        for name in dims_cfg["names"]
+    ]
+    return EngineConfig(
+        timestamp_field=d["timestamp_field"],
+        value_field=d["value_field"],
+        dimensions=dims,
+        summary_size=int(d.get("summary_size", 5)),
+    )
+
+
+def config_from_json_file(path: str) -> EngineConfig:
+    """JSON twin of the reference's HOCON file (same key layout)."""
+    import json
+
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
 def web_pages_parent_value(child_name: str, child_value: str) -> str:
     """Parent dimension value derived from the child's, for the web
     pages hierarchy (tld <- domain <- host). Twin of the column

@@ -117,6 +117,39 @@ def test_input_record_schema_shapes():
     assert schema["is_promo"].dataType.typeName() == "boolean"
 
 
+def test_config_from_dict_reference_shape():
+    """application.conf input_stream layout round-trips into
+    EngineConfig with the same level fixpoint (AppConfig.scala:49-81);
+    uses the reference's own TPC-DS dimension config as the vector."""
+    from online_anomaly_detection_root_cause_analysis_spark.config import (
+        config_from_dict,
+    )
+
+    cfg = config_from_dict(
+        {
+            "timestamp_field": "sale_at",
+            "value_field": "ws_quantity",
+            "dimensions": {
+                "names": ["ca_city", "ca_county", "ca_state", "sm_code"],
+                "definitions": {
+                    "ca_city": {"value_type": "string", "parent_dimension": "ca_county", "group": "spatial"},
+                    "ca_county": {"value_type": "string", "parent_dimension": "ca_state", "group": "spatial"},
+                    "ca_state": {"value_type": "string", "parent_dimension": "root", "group": "spatial"},
+                    "sm_code": {"value_type": "string", "parent_dimension": "root", "group": "delivery"},
+                },
+            },
+            "summary_size": 5,
+        }
+    )
+    assert cfg.dimension_names == ["ca_city", "ca_county", "ca_state", "sm_code"]
+    assert cfg.levels == {"ca_state": 1, "ca_county": 2, "ca_city": 3, "sm_code": 1}
+    assert cfg.group("sm_code") == "delivery"
+    # root pairs omitted (DimensionHierarchiesBuilder.scala:9-16)
+    assert sorted(cfg.hierarchy_pairs()) == [
+        ("ca_city", "ca_county"), ("ca_county", "ca_state"),
+    ]
+
+
 def test_kafka_offset_selection():
     """S2 offset mapping (InputRecordStreamBuilder.scala:20-25)."""
     base = dict(bootstrap_servers="b:9092", topic="ad_input")
