@@ -117,6 +117,74 @@ def test_input_record_schema_shapes():
     assert schema["is_promo"].dataType.typeName() == "boolean"
 
 
+def test_streaming_json_front_door(spark, tmp_path):
+    """The JSON record path under Structured Streaming: JSON lines
+    streamed file-by-file (the broker stand-in; the real front door is
+    format('kafka') with the same parse stage) -> parse_json_records
+    -> windowed long-form aggregation == the same computation on the
+    batch frame."""
+    import json as jsonlib
+    import os
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(600):
+        ts = f"2024-01-01T{i // 120:02d}:{(i // 2) % 60:02d}:{(i * 7) % 60:02d}"
+        rows.append(
+            jsonlib.dumps(
+                {
+                    "created_at": ts,
+                    "amount": round(float(rng.uniform(1, 50)), 2),
+                    "region": ["eu", "us", "ap"][i % 3],
+                    "store_sk": int(i % 7),
+                    "is_promo": bool(i % 2),
+                }
+            )
+        )
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    for c in range(4):
+        f = src / f"chunk-{c:03d}.jsonl"
+        f.write_text("\n".join(rows[c * 150 : (c + 1) * 150]) + "\n")
+        os.utime(f, (1e9 + c, 1e9 + c))
+
+    cfg = _typed_cfg()
+    raw_stream = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    rec_stream = parse_json_records(raw_stream, cfg)
+    aggs_stream = long_form_window_aggs(rec_stream, cfg, 300, 60)
+    q = (
+        aggs_stream.writeStream.format("memory").queryName("json_front_door")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r[:3]): (r.dim_group, r.dim_level, round(r.dim_sum, 6), r.dim_count)
+        for r in spark.sql("SELECT * FROM json_front_door").collect()
+    }
+
+    raw_batch = spark.createDataFrame([(r,) for r in rows], "value string")
+    want_df = long_form_window_aggs(parse_json_records(raw_batch, cfg), cfg, 300, 60)
+    want = {
+        tuple(r[:3]): (r.dim_group, r.dim_level, round(r.dim_sum, 6), r.dim_count)
+        for r in want_df.collect()
+    }
+    # streaming append-mode emits only watermark-finalized windows —
+    # a subset of the batch grid, but every emitted row must match
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v, k
+    # all but the last slide's windows finalize with the 0s watermark
+    assert len(got) >= len(want) * 0.8
+
+
 def test_config_from_dict_reference_shape():
     """application.conf input_stream layout round-trips into
     EngineConfig with the same level fixpoint (AppConfig.scala:49-81);
