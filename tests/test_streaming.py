@@ -232,3 +232,19 @@ def test_watermark_handles_out_of_order(spark, pages_path_factory, tmp_path):
     batch_restricted = batch.filter(F.col("window_start_epoch").isin(list(emitted)))
     # within-watermark late rows are fully counted: exact parity
     assert _norm_rows(streamed) == _norm_rows(batch_restricted)
+
+
+def test_iceberg_writer_options():
+    """Production sink option mapping (pure — iceberg jars not in this
+    image; write_batch_idempotent above tests the same exactly-once
+    contract end-to-end via the marker protocol)."""
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.sink import (
+        iceberg_writer_options,
+    )
+
+    opts = iceberg_writer_options("ad.alerts", "/ckpt/alerts", trigger_seconds=60)
+    assert opts["path"] == "ad.alerts"
+    assert opts["checkpointLocation"] == "/ckpt/alerts"
+    assert opts["fanout-enabled"] == "true"
+    assert opts["trigger-interval-seconds"] == "60"
+    assert "trigger-interval-seconds" not in iceberg_writer_options("t", "/c")
