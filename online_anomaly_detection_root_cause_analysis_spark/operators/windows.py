@@ -127,9 +127,14 @@ def session_window_agg(
     gap_s: int = 1800,
     ts: str = "ts",
     value: str = "value",
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Per-key session windows (gap-based). Not in the reference
-    (SURVEY.md W8) — required by north_rule; native in Spark >= 3.2."""
+    (SURVEY.md W8) — required by north_rule; native in Spark >= 3.2.
+    Works on batch and streaming frames; streaming input gets the
+    watermark (sessions finalize once event time passes end+gap)."""
+    if records.isStreaming:
+        records = records.withWatermark(ts, watermark)
     return (
         records.groupBy(
             F.col(key), F.session_window(F.col(ts), f"{gap_s} seconds").alias("w")

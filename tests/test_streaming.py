@@ -248,3 +248,56 @@ def test_iceberg_writer_options():
     assert opts["fanout-enabled"] == "true"
     assert opts["trigger-interval-seconds"] == "60"
     assert "trigger-interval-seconds" not in iceberg_writer_options("t", "/c")
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """W8 under Structured Streaming: gap-based session windows with a
+    watermark, streamed file-by-file — every finalized session matches
+    the batch computation on the same rows (north_rule: session
+    windows in the streaming pipeline)."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        session_window_agg,
+    )
+
+    pdf = (
+        pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_chunks(pdf, src, 5)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sess = session_window_agg(stream, key="user_id", gap_s=1800)
+    q = (
+        sess.writeStream.format("memory").queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start): (r.session_end, round(r.current, 6), r.records_aggregated)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    batch = session_window_agg(
+        spark.createDataFrame(pdf), key="user_id", gap_s=1800
+    )
+    want = {
+        (r.user_id, r.session_start): (r.session_end, round(r.current, 6), r.records_aggregated)
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v, k
+    # only sessions still open at end-of-stream may be missing
+    assert len(got) >= len(want) * 0.8
