@@ -18,7 +18,15 @@ Scale notes:
   candidate pairs via 4x16-bit band blocking.
 - n-gram jaccard: shingle-inverted-index self-join; the shuffle key is
   the shingle, pruned to shingles with document frequency <= df_cap to
-  bound hot-key fan-out (explicit skew handling).
+  bound hot-key fan-out (explicit skew handling). Corpus-wide this is
+  the small-scale exactness oracle only.
+- near_duplicates: THE scale path — minhash-LSH candidates, then
+  exact Jaccard verification of candidates only; at 10^12 docs the
+  signature/shingle tables are materialized once and candidates
+  broadcast against them.
+- token hashing is pluggable: xxhash64 (fast default) or sha60
+  (sha256-prefix, bit-identical to a plain SQL expression, which is
+  how the driver's DuckDB oracle recomputes minhash/simhash outputs).
 """
 
 from __future__ import annotations

@@ -241,3 +241,41 @@ class TestStreamingFPGrowth:
         targets = [ItemsetWithCount(frozenset({ord("a"), ord("b")}), 0.0)]
         counts = fp.get_counts(targets)
         assert counts[0].count == 2
+
+
+class TestHierarchicalImportance:
+    """dimension_importance (the reference's per-level top-k fold,
+    HierarchicalContributorsFinder.scala:184-198) must equal the global
+    top-k over all levels — the equivalence the batch column form's
+    single row_number rank relies on (operators/contributors.py)."""
+
+    def test_fold_equals_global_topk_property(self):
+        import random
+
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.models import (
+            Dimension,
+            DimensionSummary,
+        )
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.stats import (
+            _topk_by_cost,
+            dimension_importance,
+        )
+
+        rng = random.Random(42)
+        for trial in range(200):
+            n = rng.randrange(0, 30)
+            summaries = [
+                DimensionSummary(
+                    Dimension(f"d{i}", f"v{i}", "g", rng.randrange(1, 4)),
+                    1.0, 1.0,
+                    round(rng.uniform(0.1, 100.0), 3),  # cost > 0
+                    0.0, 0.0, 0.0,
+                )
+                for i in range(n)
+            ]
+            k = rng.randrange(1, 8)
+            fold = dimension_importance(summaries, k)
+            want = _topk_by_cost(summaries, k)
+            assert [
+                (s.dimension, s.cost) for s in _topk_by_cost(fold, k)
+            ] == [(s.dimension, s.cost) for s in want], trial
