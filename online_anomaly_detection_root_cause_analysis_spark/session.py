@@ -24,7 +24,12 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
+    # 16g, NOT bigger: an oversized heap anti-scales with threads on
+    # this box — allocation-heavy codegen at local[32] ran 36 s with a
+    # 64 g heap vs 9-16 s with 16 g (sweeping a huge young gen thrashes
+    # the shared memory bus; measured on the 600k-doc minhash stage).
+    # On a real cluster each executor sizes its own heap to its share.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

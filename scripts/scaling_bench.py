@@ -187,21 +187,38 @@ def main() -> None:
     pages_path = generate_pages_files(tmp, args.pages)
     print(f"generated {args.pages} pages in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # N -> 4N at two operating points: 2->8 cores is the clean 4x
-    # proxy on one box; 8->32 additionally exercises (and documents)
-    # single-box memory-bandwidth saturation, which a real 4x-executor
-    # cluster does not share (each executor brings its own memory bus)
-    def median_run(cpus: int) -> dict:
-        runs = sorted(
-            (run_phase_a(pages_path, cpus, tmp) for _ in range(3)),
-            key=lambda r: r["wall_sec"],
-        )
-        print(f"phase A local[{cpus}] x3:", [r["wall_sec"] for r in runs], file=sys.stderr)
-        return runs[1]
+    # N -> 4N at two operating points: 4->16 cores is the 4x proxy on
+    # one box; 16->32 additionally exercises (and documents) single-box
+    # memory-bandwidth saturation, which a real 4x-executor cluster
+    # does not share (each executor brings its own memory bus).
+    #
+    # The three repeats per level run INTERLEAVED (4,16,32, 4,16,32,
+    # ...), not level-by-level: this host throttles sustained CPU, so
+    # sequential ordering would systematically penalize whichever
+    # level runs last (measured: identical local[4] runs degrade
+    # 27 s -> 75 s when run 7th-9th in a back-to-back sequence). Each
+    # level reports median and min (min ~= the unthrottled burst
+    # capability).
+    levels = [4, 16, 32]
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for rep in range(3):
+        for cpus in levels:
+            runs[cpus].append(run_phase_a(pages_path, cpus, tmp))
 
-    a4 = median_run(4)
-    a16 = median_run(16)
-    a32 = median_run(32)
+    def summarize(cpus: int) -> dict:
+        by_wall = sorted(runs[cpus], key=lambda r: r["wall_sec"])
+        print(
+            f"phase A local[{cpus}] x3:", [r["wall_sec"] for r in by_wall],
+            file=sys.stderr,
+        )
+        med = dict(by_wall[1])
+        med["wall_sec_min"] = by_wall[0]["wall_sec"]
+        med["rows_per_sec_max"] = by_wall[0]["rows_per_sec"]
+        return med
+
+    a4 = summarize(4)
+    a16 = summarize(16)
+    a32 = summarize(32)
 
     stream = run_phase_b(pages_path, 32, tmp)
     print("phase B:", stream, file=sys.stderr)
@@ -217,6 +234,9 @@ def main() -> None:
             "speedup_4_to_16": round(a4["wall_sec"] / a16["wall_sec"], 3),
             "efficiency_4_to_16_vs_4x": round(a4["wall_sec"] / a16["wall_sec"] / 4.0, 3),
             "speedup_16_to_32": round(a16["wall_sec"] / a32["wall_sec"], 3),
+            "speedup_4_to_16_burst": round(
+                a4["wall_sec_min"] / a16["wall_sec_min"], 3
+            ),
         },
         "streaming": {"local32": stream, "local8": stream_lo},
     }
