@@ -45,36 +45,41 @@ from online_anomaly_detection_root_cause_analysis_spark.streaming.state import T
 
 
 def build_tail(args: argparse.Namespace) -> TailConfig:
+    """Detection method x RCA method are independent axes, exactly as
+    in the reference (MainJob.scala:25-110): --detector
+    threshold|macrobase crossed with --rca simple|hierarchical|
+    macrobase (default: the reference pairings — simple for
+    threshold, macrobase summarizer for macrobase)."""
     cfg = web_pages_config()
-    if args.detector == "threshold":
-        # --rca dispatches simple | hierarchical like the reference's
-        # MainJob.scala:86-110 RCA-method selection
-        return TailConfig(
-            mode="threshold",
-            rca_mode=args.rca,
-            baseline_n=args.baseline_n,
-            min_value=args.min,
-            max_value=args.max,
-            summary_size=args.summary_size,
-            parent_of=dict(cfg.hierarchy_pairs()) if args.rca == "hierarchical" else None,
-            parent_value_fn=web_pages_parent_value if args.rca == "hierarchical" else None,
-        )
-    # MainJob.scala:26-58 default MacroBase hyper-parameters
-    return TailConfig(
-        mode="macrobase",
+    hier = args.rca == "hierarchical"
+    # MainJob.scala:95-108 default summarizer hyper-parameters
+    summarizer_spec = SummarizerSpec(
+        summary_update_period=20, decay_rate=0.03,
+        outlier_item_summary_size=1000, inlier_item_summary_size=1000,
+        min_oi_ratio=1, min_support=0.01,
+        attributes=[d.name for d in cfg.dimensions],
+        attribute_combinations=True, summary_generation_period=99,
+    )
+    common = dict(
+        rca_mode=args.rca,
         baseline_n=args.baseline_n,
         summary_size=args.summary_size,
+        summarizer_spec=summarizer_spec,
+        parent_of=dict(cfg.hierarchy_pairs()) if hier else None,
+        parent_value_fn=web_pages_parent_value if hier else None,
+    )
+    if args.detector == "threshold":
+        return TailConfig(
+            mode="threshold", min_value=args.min, max_value=args.max, **common
+        )
+    # MainJob.scala:35-47 default MacroBase detector hyper-parameters
+    return TailConfig(
+        mode="macrobase",
         detector_spec=EWFeatureSpec(
             warmup_count=100, sample_size=1000, decay_period=10,
             decay_rate=0.01, training_period=10, percentile=0.9,
         ),
-        summarizer_spec=SummarizerSpec(
-            summary_update_period=20, decay_rate=0.03,
-            outlier_item_summary_size=1000, inlier_item_summary_size=1000,
-            min_oi_ratio=1, min_support=0.01,
-            attributes=[d.name for d in web_pages_config().dimensions],
-            attribute_combinations=True, summary_generation_period=99,
-        ),
+        **common,
     )
 
 
@@ -83,7 +88,10 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--work", required=True)
     ap.add_argument("--detector", choices=["threshold", "macrobase"], default="threshold")
-    ap.add_argument("--rca", choices=["simple", "hierarchical"], default="simple")
+    ap.add_argument(
+        "--rca", choices=["simple", "hierarchical", "macrobase"], default=None,
+        help="RCA method; default = the reference pairing for the detector",
+    )
     ap.add_argument("--min", type=float, default=float("-inf"))
     ap.add_argument("--max", type=float, default=float("inf"))
     ap.add_argument("--window", type=int, default=300)

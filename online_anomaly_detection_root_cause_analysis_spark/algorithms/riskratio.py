@@ -60,9 +60,18 @@ def compute_risk_ratio(
         return RiskRatioResult(math.inf)
 
     z = 2.0
+    # Scala Double: 0.0/0.0 = NaN (Python raises) — reachable when the
+    # summarizer is fed only outliers (e.g. threshold detection +
+    # macrobase RCA: the detector emits no inlier events, so
+    # unexposedInlierCount == 0). NaN correction propagates to a NaN
+    # corrected ratio, which fails every downstream >= comparison —
+    # identical to the reference's behavior.
+    unexposed_inlier_term = (
+        math.nan if unexposed_inliers == 0.0 else 1.0
+    )  # literal unexposedInlierCount / unexposedInlierCount (:39)
     correction = z * math.sqrt(
         (exposed_inlier_count / exposed_outlier_count) / total_exposed
-        + (unexposed_inliers / unexposed_inliers) / total_minus_exposed
+        + unexposed_inlier_term / total_minus_exposed
     )
     ratio = (exposed_outlier_count / total_exposed) / (
         unexposed_outliers / total_minus_exposed

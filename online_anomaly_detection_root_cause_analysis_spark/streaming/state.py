@@ -51,9 +51,14 @@ PICKLE_VERSION = 1
 
 @dataclass
 class TailConfig:
+    # detection method and RCA method are INDEPENDENT config axes in
+    # the reference (application.conf anomaly_detection.method ×
+    # root_cause_analysis.method; MainJob.scala:25-110) — any of the
+    # 2 × 3 combinations is valid. rca_mode=None resolves to the
+    # reference defaults: simple for threshold, macrobase for
+    # macrobase detection.
     mode: str = "threshold"  # threshold | macrobase
-    rca_mode: str = "simple"  # simple | hierarchical (threshold-mode RCA;
-    #   reference MainJob.scala:86-110 dispatches hierarchical|simple|macrobase)
+    rca_mode: str | None = None  # simple | hierarchical | macrobase
     baseline_n: int = 10
     min_value: float = float("-inf")
     max_value: float = float("inf")
@@ -111,9 +116,13 @@ class StreamingTail:
     summarizer: ExponentiallyDecayingEmergingItemsets | None = None
 
     def __post_init__(self) -> None:
+        self.rca = self.config.rca_mode or (
+            "macrobase" if self.config.mode == "macrobase" else "simple"
+        )
         if self.config.mode == "macrobase" and self.scorer is None:
             self.scorer = EWFeatureTransform(self.config.detector_spec)
             self.classifier = EWAppxPercentileAuxiliary(self.config.detector_spec)
+        if self.rca == "macrobase" and self.summarizer is None:
             self.summarizer = ExponentiallyDecayingEmergingItemsets.from_spec(
                 self.config.summarizer_spec
             )
@@ -253,10 +262,46 @@ class StreamingTail:
                 rows.append(row)
         return rows
 
-    def _rca_rows(
-        self, window_start: int, rec: AggregatedRecordsWBaseline
+    def _summarizer_rows(
+        self, window_start: int, event: AnomalyEvent
     ) -> list[dict[str, Any]]:
-        if self.config.rca_mode == "hierarchical":
+        """Feed one AnomalyEvent to the MacroBase summarizer; flatten
+        any emitted RCAResult(s) to long-form rows."""
+        out: list[dict[str, Any]] = []
+        for result in self.summarizer.process(event):
+            self.n_summaries += 1
+            for d in result.dimension_summaries:
+                row = _empty_row()
+                row.update(
+                    row_type="rca", seq=self.seq,
+                    window_start_epoch=window_start,
+                    support=result.support,
+                    num_records=result.num_records,
+                    ratio_to_inliers=result.ratio_to_inliers
+                    if not math.isinf(result.ratio_to_inliers)
+                    else None,
+                    n_dims=len(result.dimension_summaries),
+                    summary_id=self.n_summaries,
+                    dim_name=d.dimension.name,
+                    dim_value=d.dimension.value,
+                )
+                out.append(row)
+        return out
+
+    def _rca_rows(
+        self, window_start: int, rec: AggregatedRecordsWBaseline,
+        is_outlier: bool = True,
+    ) -> list[dict[str, Any]]:
+        """RCA-method dispatch (MainJob.scala:86-110). The contributor
+        finders run on EVERY AnomalyEvent the detector emits — the
+        reference maps the stream without an isOutlier filter."""
+        if self.rca == "macrobase":
+            event = AnomalyEvent(
+                anomaly_id=str(self.seq), detected_at=self.seq,
+                epoch=window_start, record=rec, is_outlier=is_outlier,
+            )
+            return self._summarizer_rows(window_start, event)
+        if self.rca == "hierarchical":
             return self._rca_rows_hierarchical(window_start, rec)
         return self._rca_rows_simple(window_start, rec)
 
@@ -276,28 +321,7 @@ class StreamingTail:
         for r1, score in self.scorer.process(rec, rec.current):
             for r2, is_outlier in self.classifier.process(r1, score):
                 out.append(self._alert_row(window_start, r2, is_outlier, score))
-                event = AnomalyEvent(
-                    anomaly_id=str(self.seq), detected_at=self.seq,
-                    epoch=window_start, record=r2, is_outlier=is_outlier,
-                )
-                for result in self.summarizer.process(event):
-                    self.n_summaries += 1
-                    for d in result.dimension_summaries:
-                        row = _empty_row()
-                        row.update(
-                            row_type="rca", seq=self.seq,
-                            window_start_epoch=window_start,
-                            support=result.support,
-                            num_records=result.num_records,
-                            ratio_to_inliers=result.ratio_to_inliers
-                            if not math.isinf(result.ratio_to_inliers)
-                            else None,
-                            n_dims=len(result.dimension_summaries),
-                            summary_id=self.n_summaries,
-                            dim_name=d.dimension.name,
-                            dim_value=d.dimension.value,
-                        )
-                        out.append(row)
+                out.extend(self._rca_rows(window_start, r2, is_outlier))
         return out
 
 
