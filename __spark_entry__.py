@@ -404,6 +404,73 @@ def q_hierarchical_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ EWMA z-score detector
+
+def q_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA z-score detection (north_star: streaming z-score/EWMA in
+    the state store) over tumbling window totals, replayed through the
+    same StreamingTail code path the streaming job runs. The 6dp
+    per-step quantization of mean/var (algorithms/ewma.py) is what
+    makes the DuckDB recursive-CTE oracle reproduce the sequence
+    bit-for-bit."""
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    records = _events(spark, sf_dir)
+    # 1800s tumbling windows: the oracle replays the EWMA recursion as
+    # a recursive CTE whose working-table join is quadratic in window
+    # count — the coarser grid keeps the oracle seconds-fast while
+    # still exercising hundreds of update steps at sf0.01
+    aggs = long_form_window_aggs(records, events_config(), 1800, None)
+    tail = TailConfig(mode="zscore", ewma_alpha=0.1, ewma_z_threshold=2.0)
+    out = make_batch_tail(aggs, tail)
+    return out.filter(F.col("row_type") == "alert").select(
+        "window_start_epoch",
+        _r4("current").alias("current"),
+        _r4("baseline").alias("ewma_mean"),
+        F.col("score").alias("z"),
+    )
+
+
+def _zscore_oracle_sql(alpha: float = 0.1, z_threshold: float = 2.0) -> str:
+    """Recursive-CTE twin of EWMAZScore.update over the tumbling
+    totals: identical update expressions, identical 6dp floor
+    quantization each step, multiplication-form outlier test."""
+    a = repr(alpha)
+    zz = f"({z_threshold!r} * {z_threshold!r})"
+    return f"""
+WITH RECURSIVE tot AS (
+  SELECT ws, current, row_number() OVER (ORDER BY ws) AS idx FROM (
+    SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws, sum(value) AS current
+    FROM events GROUP BY 1
+  )
+),
+r AS (
+  SELECT idx, ws, current,
+         CAST(NULL AS DOUBLE) AS mean_prev, CAST(NULL AS DOUBLE) AS var_prev,
+         floor(current*1000000 + 0.5)/1000000 AS mean, CAST(0.0 AS DOUBLE) AS var
+  FROM tot WHERE idx = 1
+  UNION ALL
+  SELECT t.idx, t.ws, t.current, r.mean, r.var,
+         floor(({a}*t.current + (1.0 - {a})*r.mean)*1000000 + 0.5)/1000000,
+         floor(((1.0 - {a})*(r.var + {a}*(t.current - r.mean)*(t.current - r.mean)))*1000000 + 0.5)/1000000
+  FROM tot t JOIN r ON t.idx = r.idx + 1
+)
+SELECT ws AS window_start_epoch,
+       floor(current*10000 + 0.5)/10000 AS current,
+       floor(mean_prev*10000 + 0.5)/10000 AS ewma_mean,
+       floor((current - mean_prev)/sqrt(var_prev)*10000 + 0.5)/10000 AS z
+FROM r
+WHERE var_prev > 0
+  AND (current - mean_prev)*(current - mean_prev) > {zz}*var_prev
+"""
+
+
 # --------------------------------------------- macrobase over event windows
 
 def q_macrobase_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_contributors": q_simple_contributors,
         "hierarchical_contributors": q_hierarchical_contributors,
         "session_windows": q_session_windows,
+        "zscore_alerts": q_zscore_alerts,
         "macrobase_summaries": q_macrobase_summaries,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -952,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "simple_contributors": _SIMPLE_CONTRIBUTORS_SQL,
         "hierarchical_contributors": _HIER_CONTRIBUTORS_SQL,
         "session_windows": _SESSION_SQL,
+        "zscore_alerts": _zscore_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # near_duplicates (LSH candidates -> exact verify) must find

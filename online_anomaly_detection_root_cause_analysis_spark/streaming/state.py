@@ -34,6 +34,7 @@ from typing import Any, Iterator
 import pandas as pd
 
 from ..algorithms.ewfeature import EWFeatureSpec, EWFeatureTransform
+from ..algorithms.ewma import EWMAZScore
 from ..algorithms.ewpercentile import EWAppxPercentileAuxiliary
 from ..algorithms.models import AggregatedRecordsWBaseline, AnomalyEvent, Dimension
 from ..algorithms.stats import (
@@ -56,8 +57,9 @@ class TailConfig:
     # root_cause_analysis.method; MainJob.scala:25-110) — any of the
     # 2 × 3 combinations is valid. rca_mode=None resolves to the
     # reference defaults: simple for threshold, macrobase for
-    # macrobase detection.
-    mode: str = "threshold"  # threshold | macrobase
+    # macrobase detection. mode="zscore" is the engine's own EWMA
+    # z-score detector (north_star), outside the reference's set.
+    mode: str = "threshold"  # threshold | macrobase | zscore
     rca_mode: str | None = None  # simple | hierarchical | macrobase
     baseline_n: int = 10
     min_value: float = float("-inf")
@@ -65,6 +67,8 @@ class TailConfig:
     summary_size: int = 5
     detector_spec: EWFeatureSpec | None = None
     summarizer_spec: SummarizerSpec | None = None
+    ewma_alpha: float = 0.1
+    ewma_z_threshold: float = 3.0
     # hierarchy for rca_mode="hierarchical": child dim name -> parent
     # dim name, and a PICKLABLE module-level fn (child_name,
     # child_value) -> parent_value. The reference builds the child ->
@@ -114,6 +118,7 @@ class StreamingTail:
     scorer: EWFeatureTransform | None = None
     classifier: EWAppxPercentileAuxiliary | None = None
     summarizer: ExponentiallyDecayingEmergingItemsets | None = None
+    ewma: EWMAZScore | None = None
 
     def __post_init__(self) -> None:
         self.rca = self.config.rca_mode or (
@@ -122,6 +127,11 @@ class StreamingTail:
         if self.config.mode == "macrobase" and self.scorer is None:
             self.scorer = EWFeatureTransform(self.config.detector_spec)
             self.classifier = EWAppxPercentileAuxiliary(self.config.detector_spec)
+        if self.config.mode == "zscore" and self.ewma is None:
+            self.ewma = EWMAZScore(
+                alpha=self.config.ewma_alpha,
+                z_threshold=self.config.ewma_z_threshold,
+            )
         if self.rca == "macrobase" and self.summarizer is None:
             self.summarizer = ExponentiallyDecayingEmergingItemsets.from_spec(
                 self.config.summarizer_spec
@@ -160,6 +170,8 @@ class StreamingTail:
 
         if self.config.mode == "threshold":
             return self._threshold(window_start, record)
+        if self.config.mode == "zscore":
+            return self._zscore(window_start, record)
         return self._macrobase(window_start, record)
 
     def _alert_row(
@@ -313,6 +325,24 @@ class StreamingTail:
             out.append(self._alert_row(window_start, rec, True, None))
             out.extend(self._rca_rows(window_start, rec))
         return out
+
+    def _zscore(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        """EWMA z-score detection (algorithms/ewma.py). Alert rows use
+        `baseline` for the pre-update EWMA mean and `score` for the
+        z-score; RCA dispatch as configured (default simple)."""
+        is_outlier, z, mean_prev = self.ewma.update(rec.current)
+        if not is_outlier:
+            return []
+        row = _empty_row()
+        row.update(
+            row_type="alert", seq=self.seq, window_start_epoch=window_start,
+            current=rec.current, baseline=mean_prev,
+            records_in_baseline_offset=rec.records_in_baseline_offset,
+            is_outlier=True, score=z,
+        )
+        return [row] + self._rca_rows(window_start, rec)
 
     def _macrobase(
         self, window_start: int, rec: AggregatedRecordsWBaseline

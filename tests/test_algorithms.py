@@ -279,3 +279,28 @@ class TestHierarchicalImportance:
             assert [
                 (s.dimension, s.cost) for s in _topk_by_cost(fold, k)
             ] == [(s.dimension, s.cost) for s in want], trial
+
+
+class TestEWMAZScore:
+    def test_sequence(self):
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewma import (
+            EWMAZScore,
+        )
+
+        d = EWMAZScore(alpha=0.5, z_threshold=2.0)
+        assert d.update(10.0) == (False, None, None)   # warm-up
+        out, z, mp = d.update(10.0)                    # var still 0
+        assert (out, z, mp) == (False, None, 10.0)
+        out, z, mp = d.update(14.0)                    # builds variance
+        assert not out and mp == 10.0
+        # mean=12, var=0.5*(2+0.5*16)=5 -> sigma~2.236; 30 is ~8 sigma
+        out, z, mp = d.update(30.0)
+        assert out and z > 2.0 and mp == 12.0
+
+    def test_constant_stream_never_alerts(self):
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewma import (
+            EWMAZScore,
+        )
+
+        d = EWMAZScore()
+        assert not any(d.update(5.0)[0] for _ in range(100))
