@@ -196,3 +196,62 @@ def test_batch_tail_matches_column_form(spark):
     assert set(got) == set(want)
     for k, cost in want.items():
         assert abs(got[k] - cost) <= max(1e-6, 1e-6 * abs(cost)), (k, got[k], cost)
+
+
+def test_streaming_zscore_matches_replay(spark, tmp_path):
+    """EWMA z-score state held in the state store across micro-batches
+    (north_star): streaming output == pure-Python replay of the same
+    finalized windows."""
+    import os
+
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+        PagesSpec,
+        generate_pages,
+        read_pages_stream,
+    )
+
+    pdf = generate_pages(PagesSpec(n_pages=1500)).sort_values("warc_ts")
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    _write_chunks(pdf, pages, 5)
+
+    tail_cfg = TailConfig(mode="zscore", ewma_alpha=0.2, ewma_z_threshold=1.5)
+    job = StreamingJob(
+        work_dir=str(tmp_path / "job"), cfg=CFG, tail=tail_cfg,
+        size_s=300, slide_s=60,
+    )
+    stream = build_page_records(read_pages_stream(spark, str(pages)), CFG)
+    q1 = job.start_aggregate_query(stream)
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = job.start_detect_query(spark)
+    q2.processAllAvailable()
+    q2.stop()
+
+    alerts = spark.read.parquet(job.alerts_dir)
+    assert alerts.count() > 0
+
+    replay = StreamingTail(tail_cfg)
+    expected = []
+    for f in sorted(os.listdir(job.aggs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
+        if len(chunk):
+            for ws, cur, rec, bd in rows_to_windows(chunk):
+                expected.extend(replay.process_window(ws, cur, rec, bd))
+
+    got = sorted(
+        (r.seq, r.window_start_epoch, f"{r.current:.6f}", f"{r.baseline:.6f}",
+         f"{r.score:.6f}" if r.score is not None else "null")
+        for r in alerts.collect()
+    )
+    want = sorted(
+        (e["seq"], e["window_start_epoch"], f"{e['current']:.6f}",
+         f"{e['baseline']:.6f}",
+         f"{e['score']:.6f}" if e["score"] is not None else "null")
+        for e in expected if e["row_type"] == "alert"
+    )
+    assert got == want
