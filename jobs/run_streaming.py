@@ -72,6 +72,13 @@ def build_tail(args: argparse.Namespace) -> TailConfig:
         return TailConfig(
             mode="threshold", min_value=args.min, max_value=args.max, **common
         )
+    if args.detector == "zscore":
+        return TailConfig(
+            mode="zscore",
+            ewma_alpha=args.ewma_alpha,
+            ewma_z_threshold=args.ewma_z,
+            **common,
+        )
     # MainJob.scala:35-47 default MacroBase detector hyper-parameters
     return TailConfig(
         mode="macrobase",
@@ -87,7 +94,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--work", required=True)
-    ap.add_argument("--detector", choices=["threshold", "macrobase"], default="threshold")
+    ap.add_argument(
+        "--detector", choices=["threshold", "macrobase", "zscore"], default="threshold"
+    )
+    ap.add_argument("--ewma-alpha", type=float, default=0.1)
+    ap.add_argument("--ewma-z", type=float, default=3.0)
     ap.add_argument(
         "--rca", choices=["simple", "hierarchical", "macrobase"], default=None,
         help="RCA method; default = the reference pairing for the detector",
