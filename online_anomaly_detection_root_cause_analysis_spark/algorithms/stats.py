@@ -53,10 +53,15 @@ def contribution_change_percentage(
 def contribution_to_overall_change_percentage(
     baseline: float, current: float, baseline_total: float, current_total: float
 ) -> float:
-    # current_total == baseline_total would divide by zero (Scala gives
-    # ±Inf/NaN); NaN here matches the engine's NULL policy (see
-    # operators/contributors.py stats_cols + the NaN-policy note) —
-    # the row is dropped by the cost > 0 filter either way.
+    # DELIBERATE DEVIATION (ADVICE r2): when current_total ==
+    # baseline_total (and both nonzero) the reference divides by zero
+    # giving ±Infinity, and its roundUp (Math.round of ±Inf) collapses
+    # to Long.MaxValue/10000 — a huge FINITE ctoc, so the reference
+    # EMITS that summary with a dominating cost. That output is
+    # degenerate garbage (an artifact of Math.round saturation), so
+    # this port returns NaN instead and the row is dropped by the
+    # cost > 0 filter, matching the engine's NULL policy
+    # (operators/contributors.py stats_cols).
     if baseline_total != 0.0 and current_total != baseline_total:
         return _jround4(
             (current - baseline) / abs(current_total - baseline_total) * 100.0

@@ -132,10 +132,25 @@ def web_pages_parent_value(child_name: str, child_value: str) -> str:
     """Parent dimension value derived from the child's, for the web
     pages hierarchy (tld <- domain <- host). Twin of the column
     derivations in functions/text.py::url_dimension_cols; module-level
-    so TailConfig stays picklable in the state store."""
+    so TailConfig stays picklable in the state store.
+
+    Divergence note (ADVICE r2): the column form derives url_tld from
+    the HOST (substring_index(host, '.', -1)), so for a single-label
+    host it yields domain='' / tld='<host>' — unrecoverable from the
+    child value '' alone. This twin therefore requires multi-label
+    hosts; the pages generator only emits h{i}.site{j}.{tld} 3-label
+    hosts (sources/pages.py::host_parts, invariant asserted in
+    tests/test_pages_pipeline.py), and a ValueError guards the
+    unrepresentable case instead of silently diverging."""
     if child_name == "url_host":
         return child_value.split(".", 1)[1] if "." in child_value else ""
     if child_name == "url_domain":
+        if child_value == "":
+            raise ValueError(
+                "url_domain='' comes from a single-label host, whose tld "
+                "is not derivable from the domain value; the pages "
+                "generator never emits single-label hosts"
+            )
         return child_value.rsplit(".", 1)[-1]
     raise KeyError(f"no parent derivation for dimension {child_name!r}")
 

@@ -86,10 +86,10 @@ def build_typed_records(
 
 def build_event_records(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) ->
-    records with dimensions event_type + user_bucket (user_id % 10)."""
-    return df.select(
-        F.col("ts"),
-        F.col("value").cast("double").alias("value"),
-        F.col("event_type"),
-        (F.col("user_id") % 10).cast("string").alias("user_bucket"),
-    )
+    records with dimensions event_type + user_bucket (user_id % 10).
+
+    Derives the bucket column, then routes through the config-generic
+    `build_typed_records` so the events path exercises the same typed
+    dimension parsers as every other source (VERDICT r2 #6)."""
+    derived = df.withColumn("user_bucket", (F.col("user_id") % 10).cast("string"))
+    return build_typed_records(derived, cfg)

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+    banded_signatures,
     exact_duplicates,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -57,6 +59,72 @@ def test_minhash_estimate_close_to_exact(spark, corpus):
     )
     mae = joined.first().mae
     assert mae is not None and mae < 0.15, f"minhash MAE {mae}"
+
+
+def test_near_duplicates_operating_point_margin(spark, corpus):
+    """ADVICE r2 (medium): the driver gates near_duplicates against the
+    exact corpus-wide pair set. That equality is corpus-dependent — a
+    borderline pair (jaccard near the bands=32/r=2 s-curve knee) is
+    admitted only with probability 1-(1-j^2)^32, and the per-bucket
+    max_group cap can drop true pairs in a hot bucket. The LSH is
+    deterministic per corpus (fixed hash params), so check the gate's
+    PRECONDITIONS on this corpus instead of assuming them:
+
+    (a) the weakest true pair's s-curve admission probability
+        1-(1-j^2)^32 is >= 0.99 (flags corpus drift toward the knee;
+        observed min j = 0.375 -> 0.992);
+    (b) LSH candidate coverage of the true pair set is exactly total —
+        the DETERMINISTIC fact the driver oracle actually relies on
+        (hash params are fixed, so coverage is a property of the
+        corpus, not of the run);
+    (c) every band bucket has >= 4x headroom under max_group=1000, so
+        the hot-bucket guard cannot be dropping candidates."""
+    true_pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.3).collect()
+    assert true_pairs
+    min_j = min(r.jaccard for r in true_pairs)
+    admission = 1.0 - (1.0 - min_j**2) ** 32
+    assert admission >= 0.99, (
+        f"weakest true pair j={min_j:.3f} has s-curve admission {admission:.4f}"
+    )
+
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, n=3, num_hashes=64, bands=32)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    missing = {(r.doc_a, r.doc_b) for r in true_pairs} - cands
+    assert not missing, f"LSH candidates miss true pairs: {sorted(missing)[:5]}"
+
+    banded = banded_signatures(minhash_signatures(corpus, n=3, num_hashes=64), 64, 32)
+    max_bucket = (
+        banded.groupBy("band_idx", "band_hash").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= 250, f"band bucket of {max_bucket} is near the max_group cap"
+
+
+def test_near_duplicates_df_cap_matches_exact_oracle(spark, corpus):
+    """ADVICE r2: near_duplicates' exact-verify join must apply the
+    SAME df_cap shingle pruning as ngram_jaccard_pairs or n_common
+    diverges on corpora with ultra-hot shingles. Force a tiny cap so
+    pruning actually bites on this corpus, and assert the two paths
+    still agree pair-for-pair and count-for-count."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_duplicates,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.3, df_cap=3).collect()
+    }
+    nd = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in near_duplicates(
+            corpus, n=3, threshold=0.3, bands=32, df_cap=3
+        ).collect()
+    }
+    # with df_cap=3 hot shingles are pruned from n_common in BOTH paths
+    assert nd == exact
 
 
 def test_simhash_finds_exact_dups(spark, corpus):

@@ -46,6 +46,32 @@ def test_extract_text_byte_identical_per_url(spark, pages_df):
     assert both.filter(~F.col("stable")).count() == 0
 
 
+def test_parent_value_twin_matches_column_form(spark, pages_df):
+    """ADVICE r2: config.web_pages_parent_value must mirror the column
+    derivations in url_dimension_cols for every host the generator can
+    emit. Assert the multi-label-host invariant (the twin's stated
+    precondition) and value-level agreement host->domain->tld."""
+    from online_anomaly_detection_root_cause_analysis_spark.config import (
+        web_pages_parent_value,
+    )
+
+    rows = (
+        build_page_records(pages_df, CFG)
+        .select("url_host", "url_domain", "url_tld")
+        .distinct()
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.url_host.count(".") >= 2, f"single/two-label host {r.url_host}"
+        assert web_pages_parent_value("url_host", r.url_host) == r.url_domain
+        assert web_pages_parent_value("url_domain", r.url_domain) == r.url_tld
+    # the unrepresentable single-label-host case fails loudly, never
+    # silently diverges from the column form
+    with pytest.raises(ValueError):
+        web_pages_parent_value("url_domain", "")
+
+
 def test_url_hierarchy_dimensions(spark, pages_df):
     recs = build_page_records(pages_df, CFG)
     row = recs.filter(F.col("url_host") == "h7.site7.uk").first()

@@ -95,12 +95,16 @@ def test_text_features_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan
 
 
-def test_near_duplicates_broadcasts_candidates(spark):
-    """The composed near-dup op must broadcast the (small) LSH
-    candidate pair set into the shingle joins and keep everything
-    JVM-side."""
+def test_near_duplicates_candidates_not_force_broadcast(spark):
+    """VERDICT r2 #3: the candidate side of near_duplicates carries NO
+    mandatory broadcast hint — at tested scales AQE still picks a
+    broadcast join from runtime stats, but at 10^12 docs the candidate
+    pair set can exceed driver memory (band buckets are capped at 1000
+    EACH, not in total) and the optimizer must be free to shuffle-join
+    it. Everything stays JVM-side."""
     df = e.q_near_duplicates(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, "no join hint may be forced"
     plan = explain_str(df)
-    assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
