@@ -86,6 +86,17 @@ def _r4(col) -> object:
     return F.floor(F.col(col) * 10000.0 + 0.5) / 10000.0
 
 
+def _q6_aggs(aggs: DataFrame) -> DataFrame:
+    """Quantize long-form window sums to 6dp before they enter a
+    stateful recursion (EWMA / MacroBase tails): the tail's arithmetic
+    is bit-replayed by the DuckDB oracle, so its INPUTS must already
+    be bit-identical across engines — raw Spark and DuckDB sums can
+    differ by a ulp."""
+    return aggs.withColumn(
+        "dim_sum", F.floor(F.col("dim_sum") * 1000000.0 + 0.5) / 1000000.0
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_tumbling_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,8 +436,13 @@ def q_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1800s tumbling windows: the oracle replays the EWMA recursion as
     # a recursive CTE whose working-table join is quadratic in window
     # count — the coarser grid keeps the oracle seconds-fast while
-    # still exercising hundreds of update steps at sf0.01
-    aggs = long_form_window_aggs(records, events_config(), 1800, None)
+    # still exercising hundreds of update steps at sf0.01.
+    # The window totals are quantized to 6dp BEFORE entering the
+    # recursion (ADVICE r2): a ulp-level Spark-vs-DuckDB summation
+    # difference in the raw total could otherwise flip a quantization
+    # boundary or the alert decision; the oracle quantizes sum(value)
+    # identically.
+    aggs = _q6_aggs(long_form_window_aggs(records, events_config(), 1800, None))
     tail = TailConfig(mode="zscore", ewma_alpha=0.1, ewma_z_threshold=2.0)
     out = make_batch_tail(aggs, tail)
     return out.filter(F.col("row_type") == "alert").select(
@@ -445,8 +461,11 @@ def _zscore_oracle_sql(alpha: float = 0.1, z_threshold: float = 2.0) -> str:
     zz = f"({z_threshold!r} * {z_threshold!r})"
     return f"""
 WITH RECURSIVE tot AS (
+  -- window totals quantized to 6dp before entering the recursion, the
+  -- same discipline as mean/var (engine twin: _q6_aggs)
   SELECT ws, current, row_number() OVER (ORDER BY ws) AS idx FROM (
-    SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws, sum(value) AS current
+    SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws,
+           floor(sum(value)*1000000 + 0.5)/1000000 AS current
     FROM events GROUP BY 1
   )
 ),

@@ -49,7 +49,15 @@ class EWMAZScore:
 
     def update(self, x: float) -> tuple[bool, float | None, float | None]:
         """Score x against the previous state, then fold it in.
-        Returns (is_outlier, z, mean_prev)."""
+        Returns (is_outlier, z, mean_prev).
+
+        x itself is quantized to 6dp on entry (ADVICE r2): the raw
+        window total feeds both the quantized recursion AND the alert
+        test (x-mean_prev)^2 > z^2*var_prev, so a ulp-level cross-
+        engine summation difference in x could flip a quantization
+        boundary or an alert decision even with mean/var quantized.
+        Idempotent for already-quantized inputs."""
+        x = _q6(x)
         self.n += 1
         if self.mean is None:
             self.mean = _q6(x)
