@@ -529,6 +529,165 @@ def q_macrobase_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return make_batch_tail(aggs, tail)
 
+# MacroBase detector at the decay-free operating point (VERDICT r2 #1):
+# with sample_size >= stream length and decay_rate 0 the ADR reservoir
+# degenerates to the full input prefix (the under-capacity insert path
+# never draws from the RNG, reservoir.py:42-43), so the MAD scorer's
+# training set at any tuple is an exact prefix of the window-total
+# sequence and the percentile threshold an exact sorted-score index.
+# The whole detector chain is then a deterministic function of the
+# (6dp-quantized) window totals, bit-replayable in DuckDB with list
+# aggregates — the same discipline as the zscore recursive-CTE oracle.
+_MB_WARMUP = 4          # first train touches >= 2 values (MAD needs n >= 2)
+_MB_TRAINING_PERIOD = 1  # retrain every 2nd tuple (period+1 modulus)
+_MB_PERCENTILE = 0.9
+
+
+def q_macrobase_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MacroBase scorer + percentile classifier over 1800s tumbling
+    window totals, replayed through the same StreamingTail path as the
+    streaming job, at the decay-free operating point above. Emission
+    semantics under the gate (all reference quirks kept):
+
+    - scorer (EWFeatureTransform.scala:57-105): trains BEFORE insert in
+      steady state, AFTER insert during warm-up, every 2nd tuple; so
+      the score of window t uses MAD over totals[1..k(t)] with
+      k(t) = max(warmup-1, t-1 if t even else t-2);
+    - classifier (EWAppxPercentileAuxiliary.scala:49-100): threshold
+      freezes at warm-up end = sorted first-(warmup-1) scores at index
+      int(percentile * (warmup-1)); the warm-up flush flags buffered
+      records against the CURRENT tuple's score (quirk :91-94), so the
+      first `warmup` rows all carry window warmup's epoch and score."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    records = _events(spark, sf_dir)
+    aggs = _q6_aggs(long_form_window_aggs(records, events_config(), 1800, None))
+    tail = TailConfig(
+        mode="macrobase",
+        rca_mode="simple",
+        detector_spec=EWFeatureSpec(
+            warmup_count=_MB_WARMUP,
+            sample_size=1_000_000,       # >= any window count at bench SFs
+            decay_period=1_000_000_000,  # never decays
+            decay_rate=0.0,              # and decay would be a no-op anyway
+            training_period=_MB_TRAINING_PERIOD,
+            percentile=_MB_PERCENTILE,
+        ),
+    )
+    out = make_batch_tail(aggs, tail)
+    return out.filter(F.col("row_type") == "alert").select(
+        "window_start_epoch",
+        _r4("current").alias("current"),
+        _r4("baseline").alias("baseline"),
+        "records_in_baseline_offset",
+        "is_outlier",
+        _r4("score").alias("score"),
+    )
+
+
+def _macrobase_alerts_oracle_sql(
+    warmup: int = _MB_WARMUP, percentile: float = _MB_PERCENTILE
+) -> str:
+    """DuckDB bit-replay of q_macrobase_alerts: list aggregates rebuild
+    each tuple's MAD training prefix (sort / even-odd median / sorted
+    residuals / trimmed-mean fallback, exactly MAD.scala:28-66 = the
+    port in algorithms/mad.py), the frozen threshold is a sorted-score
+    index, and the warm-up flush quirk is a cross join of the first
+    `warmup` records with window `warmup`'s (epoch, score)."""
+    w1 = warmup - 1                      # reservoir size at threshold freeze
+    thr_idx1 = int(percentile * w1) + 1  # int() truncation, then 1-based
+    # MAD median expressions over a sorted list `L` of length nn
+    # (0-based n//2-1, n//2 -> 1-based n//2, n//2+1)
+    med = (
+        "CASE WHEN {n} % 2 = 0 THEN ({L}[{n}//2] + {L}[{n}//2 + 1])/2.0 "
+        "ELSE {L}[{n}//2 + 1] END"
+    )
+    med_v = med.format(L="sl", n="n")
+    med_r = med.format(L="res", n="n")
+    return f"""
+WITH tot AS (
+  -- window totals quantized to 6dp before entering the chain (engine
+  -- twin: _q6_aggs) so both engines feed identical doubles to the MAD
+  SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws,
+         floor(sum(value)*1000000 + 0.5)/1000000 AS v
+  FROM events GROUP BY 1
+),
+ti AS (
+  SELECT ws, v, row_number() OVER (ORDER BY ws) AS idx,
+         avg(v) OVER (ORDER BY ws ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING) AS baseline,
+         count(v) OVER (ORDER BY ws ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING) AS rbo
+  FROM tot
+),
+-- k(t): size of the MAD training prefix in effect when window t is
+-- scored (steady state trains BEFORE insert on even tuples;
+-- everything up to t=warmup is scored by the train-at-flush on the
+-- first warmup-1 totals)
+k AS (
+  SELECT idx AS t,
+         greatest({w1}, CASE WHEN idx % 2 = 0 THEN idx - 1 ELSE idx - 2 END) AS kk
+  FROM ti
+),
+train AS (
+  SELECT k.t, list(b.v ORDER BY b.idx) AS l
+  FROM k JOIN ti b ON b.idx <= k.kk
+  GROUP BY k.t
+),
+srt AS (SELECT t, list_sort(l) AS sl, len(l) AS n FROM train),
+meds AS (SELECT t, n, sl, {med_v} AS med FROM srt),
+resid AS (
+  SELECT t, n, med,
+         list_sort(list_transform(sl, x -> abs(x - med))) AS res
+  FROM meds
+),
+mads AS (
+  SELECT t, med,
+    CASE WHEN ({med_r}) = 0
+         THEN list_sum(res[CAST(floor(n*0.05) AS INT) + 1 : CAST(floor(n*0.95) AS INT)])
+              / (CAST(floor(n*0.95) AS INT) - CAST(floor(n*0.05) AS INT))
+         ELSE ({med_r})
+    END AS mad
+  FROM resid
+),
+sc AS (
+  SELECT ti.idx AS t, ti.ws, ti.v, ti.baseline, ti.rbo,
+         abs(ti.v - m.med)/m.mad AS s
+  FROM ti JOIN mads m ON m.t = ti.idx
+),
+th AS (
+  SELECT list_sort(list(s ORDER BY t))[{thr_idx1}] AS thr
+  FROM sc WHERE t <= {w1}
+),
+emit AS (
+  -- warm-up flush quirk: the first `warmup` rows are emitted at
+  -- window `warmup`, all flagged/scored with ITS score
+  SELECT w.ws AS window_start_epoch, r.v AS current, r.baseline, r.rbo,
+         f.s AS score
+  FROM sc r,
+       (SELECT ws FROM sc WHERE t = {warmup}) w,
+       (SELECT s FROM sc WHERE t = {warmup}) f
+  WHERE r.t <= {warmup}
+  UNION ALL
+  SELECT ws, v, baseline, rbo, s FROM sc WHERE t > {warmup}
+)
+SELECT window_start_epoch,
+       floor(current*10000 + 0.5)/10000 AS current,
+       floor(baseline*10000 + 0.5)/10000 AS baseline,
+       CAST(rbo AS INT) AS records_in_baseline_offset,
+       (score > th.thr) AS is_outlier,
+       floor(score*10000 + 0.5)/10000 AS score
+FROM emit, th
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_simple_contributors(spark, "/root/testdata/sf0.001")
@@ -546,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_contributors": q_hierarchical_contributors,
         "session_windows": q_session_windows,
         "zscore_alerts": q_zscore_alerts,
+        "macrobase_alerts": q_macrobase_alerts,
         "macrobase_summaries": q_macrobase_summaries,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1040,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchical_contributors": _HIER_CONTRIBUTORS_SQL,
         "session_windows": _SESSION_SQL,
         "zscore_alerts": _zscore_oracle_sql(),
+        "macrobase_alerts": _macrobase_alerts_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # near_duplicates (LSH candidates -> exact verify) must find
