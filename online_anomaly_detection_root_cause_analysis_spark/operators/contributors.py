@@ -143,30 +143,58 @@ def hierarchical_contributors(
     parent_of: dict[str, str],
     parent_value_exprs: dict[str, Column] | None = None,
     summary_size: int = 5,
+    parent_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """R4: balanced-cost hierarchical finder, split per dimension group.
 
     parent_of: child dim_name -> parent dim_name (level-1 dims absent:
     their parent is the window total).
     parent_value_exprs: child dim_name -> Column deriving the parent's
-    dim_value from `dim_value` (e.g. url_host -> its url_domain). When
-    omitted for a child, the parent value is looked up by joining on
-    (window, parent dim_name) against *any* value — not meaningful, so
-    pass exprs for every non-root dim.
+    dim_value from `dim_value` (e.g. url_host -> its url_domain) —
+    only usable when the parent IS a function of the child value.
+    parent_pairs: alternative for DATA-DEPENDENT hierarchies
+    (DimensionHierarchiesBuilder.scala:9-16 semantics, where the parent
+    is an independent record field): long-form (window_start, dim_name,
+    dim_value, parent_name, parent_value) rows from
+    operators.windows.hierarchy_cooccurrence, joined per (window,
+    child value). Children absent from the anomalous window (grid rows
+    that exist only in the trailing baseline) have no co-occurrence
+    pair there and fall back to the NULL->ratio-1 rule — the same
+    window-scoped semantic the streaming tail applies.
     """
     j = _alert_breakdown(alerts, breakdown_wb)
 
-    # derive the parent (name, value) for each row; level-1 rows keep NULLs
-    parent_name = F.lit(None).cast("string")
-    parent_value = F.lit(None).cast("string")
-    for child, parent in parent_of.items():
-        cond = F.col("dim_name") == child
-        parent_name = F.when(cond, F.lit(parent)).otherwise(parent_name)
-        if parent_value_exprs and child in parent_value_exprs:
-            parent_value = F.when(cond, parent_value_exprs[child]).otherwise(parent_value)
-    j = j.withColumn("_parent_name", parent_name).withColumn(
-        "_parent_value", parent_value
-    )
+    if parent_pairs is not None:
+        # data-dependent parents: per-(window, child value) lookup
+        pp = parent_pairs.select(
+            F.col("window_start").alias("_hws"),
+            F.col("dim_name").alias("_hname"),
+            F.col("dim_value").alias("_hvalue"),
+            F.col("parent_name").alias("_parent_name"),
+            F.col("parent_value").alias("_parent_value"),
+        )
+        j = j.join(
+            pp,
+            (j.window_start == pp._hws)
+            & (j.dim_name == pp._hname)
+            & (j.dim_value == pp._hvalue),
+            "left",
+        ).drop("_hws", "_hname", "_hvalue")
+    else:
+        # derive the parent (name, value) for each row; level-1 rows
+        # keep NULLs
+        parent_name = F.lit(None).cast("string")
+        parent_value = F.lit(None).cast("string")
+        for child, parent in parent_of.items():
+            cond = F.col("dim_name") == child
+            parent_name = F.when(cond, F.lit(parent)).otherwise(parent_name)
+            if parent_value_exprs and child in parent_value_exprs:
+                parent_value = F.when(cond, parent_value_exprs[child]).otherwise(
+                    parent_value
+                )
+        j = j.withColumn("_parent_name", parent_name).withColumn(
+            "_parent_value", parent_value
+        )
 
     # parent breakdown lookup (self-join on the long-form rows);
     # missing parent rows -> 0 (HierarchicalContributorsFinder.scala:141-145)

@@ -45,14 +45,34 @@ def long_form_window_aggs(
     watermark: str = "0 seconds",
     ts: str = "ts",
     value: str = "value",
+    with_hierarchy: bool = False,
 ) -> DataFrame:
     """Streaming long-form per-(window, dim) sums + '__total__' rows in
-    one aggregation (single shuffle). Works on batch frames too."""
+    one aggregation (single shuffle). Works on batch frames too.
+
+    with_hierarchy=True additionally carries the DATA-DEPENDENT
+    child->parent value pairs (DimensionHierarchiesBuilder.scala:9-16:
+    the parent value comes from the record's own parent field, not
+    from the child value) as two extra columns (parent_name,
+    parent_value) on each child dimension's rows — max(parent) per
+    (window, child value), riding the SAME aggregation shuffle, so
+    hierarchy resolution costs no extra stage. The tail rebuilds the
+    per-window hierarchy map from these columns
+    (streaming/state.py::rows_to_windows)."""
     dims = cfg.dimension_names
     n = len(dims) + 1
-    stack_parts = [f"'{d}', cast(`{d}` as string)" for d in dims]
-    stack_parts.append(f"'{TOTAL_DIM}', '{TOTAL_DIM}'")
-    stack_expr = f"stack({n}, {', '.join(stack_parts)}) as (dim_name, dim_value)"
+    parent_of = dict(cfg.hierarchy_pairs()) if with_hierarchy else {}
+
+    def _stack_row(d: str) -> str:
+        p = parent_of.get(d)
+        pv = f"cast(`{p}` as string)" if p else "cast(null as string)"
+        return f"'{d}', cast(`{d}` as string), {pv}"
+
+    stack_parts = [_stack_row(d) for d in dims]
+    stack_parts.append(f"'{TOTAL_DIM}', '{TOTAL_DIM}', cast(null as string)")
+    stack_expr = (
+        f"stack({n}, {', '.join(stack_parts)}) as (dim_name, dim_value, _pv)"
+    )
 
     group_map = F.create_map(
         *[x for d in dims for x in (F.lit(d), F.lit(cfg.group(d)))],
@@ -61,6 +81,11 @@ def long_form_window_aggs(
     level_map = F.create_map(
         *[x for d in dims for x in (F.lit(d), F.lit(cfg.level(d)))],
         F.lit(TOTAL_DIM), F.lit(0),
+    )
+    parent_name_map = (
+        F.create_map(*[x for c, p in parent_of.items() for x in (F.lit(c), F.lit(p))])
+        if parent_of
+        else None
     )
 
     if slide_s is None or slide_s == size_s:
@@ -75,19 +100,30 @@ def long_form_window_aggs(
     long_form = source.select(
         F.col(ts), F.col(value).alias("_value"), F.expr(stack_expr)
     )
-    return (
-        long_form.groupBy(w.alias("w"), "dim_name", "dim_value")
-        .agg(F.sum("_value").alias("dim_sum"), F.count(F.lit(1)).alias("dim_count"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
-            "dim_name",
-            "dim_value",
-            group_map[F.col("dim_name")].alias("dim_group"),
-            level_map[F.col("dim_name")].alias("dim_level"),
-            "dim_sum",
-            "dim_count",
+    aggs = [F.sum("_value").alias("dim_sum"), F.count(F.lit(1)).alias("dim_count")]
+    if with_hierarchy:
+        # deterministic conflict rule: max co-occurring parent value
+        # (operators/windows.py::hierarchy_cooccurrence has the twin)
+        aggs.append(F.max("_pv").alias("parent_value"))
+    grouped = long_form.groupBy(w.alias("w"), "dim_name", "dim_value").agg(*aggs)
+    cols = [
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        F.col("dim_name"),
+        F.col("dim_value"),
+        group_map[F.col("dim_name")].alias("dim_group"),
+        level_map[F.col("dim_name")].alias("dim_level"),
+        F.col("dim_sum"),
+        F.col("dim_count"),
+    ]
+    if with_hierarchy:
+        pn = (
+            parent_name_map[F.col("dim_name")]
+            if parent_name_map is not None
+            else F.lit(None).cast("string")
         )
-    )
+        cols.append(pn.alias("parent_name"))
+        cols.append(F.col("parent_value"))
+    return grouped.select(*cols)
 
 
 @dataclass
@@ -98,6 +134,9 @@ class StreamingJob:
     size_s: int = 300
     slide_s: int | None = 60
     watermark: str = "0 seconds"
+    # carry data-dependent child->parent pairs through the aggregation
+    # (required when tail.hierarchy_from_data is set)
+    with_hierarchy: bool = False
 
     @property
     def aggs_dir(self) -> str:
@@ -116,7 +155,8 @@ class StreamingJob:
 
     def start_aggregate_query(self, records_stream: DataFrame):
         aggs = long_form_window_aggs(
-            records_stream, self.cfg, self.size_s, self.slide_s, self.watermark
+            records_stream, self.cfg, self.size_s, self.slide_s, self.watermark,
+            with_hierarchy=self.with_hierarchy,
         )
         aggs_dir = self.aggs_dir
 
@@ -136,6 +176,8 @@ class StreamingJob:
             "window_start_epoch long, dim_name string, dim_value string, "
             "dim_group string, dim_level int, dim_sum double, dim_count long"
         )
+        if self.with_hierarchy:
+            agg_schema += ", parent_name string, parent_value string"
         stream = (
             spark.readStream.schema(agg_schema)
             .option("maxFilesPerTrigger", 1)

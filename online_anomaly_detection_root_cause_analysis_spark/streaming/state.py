@@ -79,6 +79,16 @@ class TailConfig:
     # band, ...).
     parent_of: dict[str, str] | None = None
     parent_value_fn: Any = None
+    # hierarchy_from_data=True resolves each child's parent VALUE from
+    # the per-window co-occurrence pairs carried on the aggregate rows
+    # (long_form_window_aggs(with_hierarchy=True)) instead of deriving
+    # it from the child value — the reference's actual semantics when
+    # the parent is an independent record field
+    # (DimensionHierarchiesBuilder.scala:9-16). Window-scoped: children
+    # absent from the anomalous window have no pair and fall back to
+    # the ratio-1 rule, matching the batch column form's
+    # parent_pairs join.
+    hierarchy_from_data: bool = False
 
 
 def tail_output_schema() -> str:
@@ -124,6 +134,7 @@ class StreamingTail:
         self.rca = self.config.rca_mode or (
             "macrobase" if self.config.mode == "macrobase" else "simple"
         )
+        self.window_hierarchy: dict = {}
         if self.config.mode == "macrobase" and self.scorer is None:
             self.scorer = EWFeatureTransform(self.config.detector_spec)
             self.classifier = EWAppxPercentileAuxiliary(self.config.detector_spec)
@@ -151,8 +162,10 @@ class StreamingTail:
         return baseline, bd, len(rest)
 
     def process_window(
-        self, window_start: int, current: float, records: int, breakdown: dict
+        self, window_start: int, current: float, records: int, breakdown: dict,
+        hierarchy: dict | None = None,
     ) -> list[dict[str, Any]]:
+        self.window_hierarchy = hierarchy or {}
         self.seq += 1
         self.deque.append((window_start, current, records, breakdown))
         if len(self.deque) > self.config.baseline_n:
@@ -215,10 +228,15 @@ class StreamingTail:
         return rows
 
     def _hierarchy(self, dims) -> dict[Dimension, Dimension]:
-        """Child -> parent Dimension map from config (twin of
+        """Child -> parent Dimension map (twin of
         DimensionHierarchiesBuilder.scala:9-16 — root parents omitted,
-        level-1 parents resolve to the window totals)."""
+        level-1 parents resolve to the window totals). Data-dependent
+        mode uses the current window's co-occurrence pairs; otherwise
+        the parent value is derived from the child value via the
+        configured picklable fn."""
         cfg = self.config
+        if cfg.hierarchy_from_data:
+            return self.window_hierarchy
         if not cfg.parent_of:
             return {}
         out: dict[Dimension, Dimension] = {}
@@ -355,11 +373,19 @@ class StreamingTail:
         return out
 
 
-def rows_to_windows(pdf: pd.DataFrame) -> Iterator[tuple[int, float, int, dict]]:
+def rows_to_windows(
+    pdf: pd.DataFrame,
+) -> Iterator[tuple[int, float, int, dict, dict]]:
     """Group long-form aggregate rows into (window_start, current,
-    records, breakdown) tuples, ascending by window. Vectorized
-    (numpy slicing over one sort) — pandas groupby per-group overhead
-    dominates at 10^5 windows."""
+    records, breakdown, hierarchy) tuples, ascending by window.
+    Vectorized (numpy slicing over one sort) — pandas groupby
+    per-group overhead dominates at 10^5 windows.
+
+    `hierarchy` (child Dimension -> parent Dimension) is rebuilt from
+    the optional parent_name/parent_value columns
+    (long_form_window_aggs(with_hierarchy=True)); empty when absent.
+    The parent Dimension carries the child's group and level-1, same
+    construction as the config-derived path."""
     import numpy as np
 
     if len(pdf) == 0:
@@ -372,6 +398,10 @@ def rows_to_windows(pdf: pd.DataFrame) -> Iterator[tuple[int, float, int, dict]]
     levels = pdf["dim_level"].to_numpy()
     sums = pdf["dim_sum"].to_numpy()
     counts = pdf["dim_count"].to_numpy()
+    has_hier = "parent_name" in pdf.columns
+    if has_hier:
+        pnames = pdf["parent_name"].to_numpy()
+        pvalues = pdf["parent_value"].to_numpy()
 
     boundaries = np.flatnonzero(np.diff(ws_arr)) + 1
     starts = np.concatenate([[0], boundaries])
@@ -379,17 +409,21 @@ def rows_to_windows(pdf: pd.DataFrame) -> Iterator[tuple[int, float, int, dict]]
     for s, e in zip(starts, ends):
         current = None
         breakdown: dict = {}
+        hierarchy: dict = {}
         for i in range(s, e):
             if names[i] == TOTAL_DIM:
                 current = float(sums[i])
                 records = int(counts[i])
             else:
-                breakdown[
-                    Dimension(names[i], values[i], groups[i], int(levels[i]))
-                ] = float(sums[i])
+                dim = Dimension(names[i], values[i], groups[i], int(levels[i]))
+                breakdown[dim] = float(sums[i])
+                if has_hier and isinstance(pnames[i], str) and pnames[i]:
+                    hierarchy[dim] = Dimension(
+                        pnames[i], pvalues[i], dim.group, dim.level - 1
+                    )
         if current is None:
             continue
-        yield int(ws_arr[s]), current, records, breakdown
+        yield int(ws_arr[s]), current, records, breakdown, hierarchy
 
 
 _OUT_DTYPES = {
@@ -420,8 +454,10 @@ def make_batch_tail(aggs_df, config: TailConfig):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         tail = StreamingTail(config)
         out: list[dict[str, Any]] = []
-        for ws, current, records, breakdown in rows_to_windows(pdf):
-            out.extend(tail.process_window(ws, current, records, breakdown))
+        for ws, current, records, breakdown, hierarchy in rows_to_windows(pdf):
+            out.extend(
+                tail.process_window(ws, current, records, breakdown, hierarchy)
+            )
         return _typed_frame(out)
 
     return (
@@ -443,8 +479,10 @@ def make_tail_fn(config: TailConfig):
             tail = StreamingTail(config)
         out_rows: list[dict[str, Any]] = []
         for pdf in pdf_iter:
-            for ws, current, records, breakdown in rows_to_windows(pdf):
-                out_rows.extend(tail.process_window(ws, current, records, breakdown))
+            for ws, current, records, breakdown, hierarchy in rows_to_windows(pdf):
+                out_rows.extend(
+                    tail.process_window(ws, current, records, breakdown, hierarchy)
+                )
         state.update((PICKLE_VERSION, pickle.dumps(tail)))
         if out_rows:
             yield _typed_frame(out_rows)

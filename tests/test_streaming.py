@@ -161,8 +161,8 @@ def test_stateful_tail_matches_replay(spark, pages_path_factory, tmp_path):
         pdf = pd.read_parquet(os.path.join(job.aggs_dir, f))
         if len(pdf) == 0:
             continue
-        for ws, cur, rec, bd in rows_to_windows(pdf):
-            expected.extend(replay_tail.process_window(ws, cur, rec, bd))
+        for ws, cur, rec, bd, hier in rows_to_windows(pdf):
+            expected.extend(replay_tail.process_window(ws, cur, rec, bd, hier))
 
     exp_alerts = [e for e in expected if e["row_type"] == "alert"]
     exp_rca = [e for e in expected if e["row_type"] == "rca"]

@@ -114,8 +114,8 @@ def test_streaming_hierarchical_matches_replay(spark, tmp_path):
         chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
         if len(chunk) == 0:
             continue
-        for ws, cur, rec, bd in rows_to_windows(chunk):
-            expected.extend(replay.process_window(ws, cur, rec, bd))
+        for ws, cur, rec, bd, hier in rows_to_windows(chunk):
+            expected.extend(replay.process_window(ws, cur, rec, bd, hier))
 
     exp_rca = [e for e in expected if e["row_type"] == "rca"]
     got = sorted(
@@ -198,6 +198,154 @@ def test_batch_tail_matches_column_form(spark):
         assert abs(got[k] - cost) <= max(1e-6, 1e-6 * abs(cost)), (k, got[k], cost)
 
 
+def test_batch_tail_cooc_matches_column_form(spark):
+    """Data-dependent hierarchy parity (VERDICT r2 #2): the tail with
+    hierarchy_from_data=True (parent values carried on the aggregate
+    rows by long_form_window_aggs(with_hierarchy=True)) must rank the
+    same dimensions at the same costs as the oracle-verified batch
+    column form joining hierarchy_cooccurrence pairs. Parent user_seg
+    ('vip' iff user_id % 97 == 0) is NOT derivable from the
+    user_bucket value."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        hierarchy_cooccurrence,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    records = df.select(
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type"),
+        F.when(F.col("user_id") % 97 == 0, F.lit("vip"))
+        .otherwise(F.lit("std"))
+        .alias("user_seg"),
+        (F.col("user_id") % 10).cast("string").alias("user_bucket"),
+    )
+    import __spark_entry__ as entrymod
+
+    cfg = entrymod.hier_cooc_events_config()
+    totals = sliding_window_totals(records, 300, 60)
+    wb = with_offset_baseline(totals, 10)
+    avg = totals.agg(F.avg("current")).collect()[0][0]
+
+    alerts = (
+        wb.filter((F.col("current") > 2 * avg) | (F.col("current") < 0.2 * avg))
+        .withColumn("anomaly_id", F.unix_timestamp("window_start").cast("string"))
+    )
+    bd = dimension_breakdown(records, cfg, 300, 60)
+    bdw = breakdown_with_baseline(bd, wb, 10, targets=alerts)
+    pairs = hierarchy_cooccurrence(records, cfg, 300, 60)
+    batch = hierarchical_contributors(
+        alerts,
+        bdw,
+        parent_of={"user_bucket": "user_seg"},
+        parent_pairs=pairs,
+        summary_size=5,
+    ).collect()
+
+    tail_cfg = TailConfig(
+        mode="threshold",
+        rca_mode="hierarchical",
+        min_value=0.2 * avg,
+        max_value=2 * avg,
+        parent_of={"user_bucket": "user_seg"},
+        hierarchy_from_data=True,
+        summary_size=5,
+    )
+    aggs = long_form_window_aggs(records, cfg, 300, 60, with_hierarchy=True)
+    tail_rca = (
+        make_batch_tail(aggs, tail_cfg).filter(F.col("row_type") == "rca").collect()
+    )
+
+    got = {
+        (r.window_start_epoch, r.dim_group, r.dim_name, r.dim_value): r.cost
+        for r in tail_rca
+    }
+    want = {
+        (
+            int(r.window_start.timestamp()),
+            r.dimension_group,
+            r.dim_name,
+            r.dim_value,
+        ): r.cost
+        for r in batch
+    }
+    assert set(got) == set(want)
+    # the hierarchy must have actually influenced level-2 rows
+    assert any(k[2] == "user_bucket" for k in want)
+    for k, cost in want.items():
+        assert abs(got[k] - cost) <= max(1e-6, 1e-6 * abs(cost)), (k, got[k], cost)
+
+
+def test_streaming_hierarchy_from_data_matches_fn_and_replay(spark, tmp_path):
+    """Streaming run with with_hierarchy=True aggregate rows and the
+    data-dependent tail: (1) streaming output == pure-Python replay of
+    the finalized windows; (2) because every pages host determines its
+    domain (and domain its tld), the co-occurrence-resolved hierarchy
+    must agree EXACTLY with the derivable parent_value_fn tail — a
+    cross-validation of the two resolution paths on the same stream."""
+    import os
+
+    import pandas as pd
+
+    pdf = generate_pages(PagesSpec(n_pages=1500)).sort_values("warc_ts")
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    _write_chunks(pdf, pages, 5)
+
+    records_batch = build_page_records(spark.createDataFrame(pdf), CFG)
+    totals = sliding_window_totals(records_batch, 300, 60)
+    max_value = totals.approxQuantile("current", [0.5], 0.0)[0]
+
+    tail_data = TailConfig(
+        mode="threshold",
+        rca_mode="hierarchical",
+        max_value=max_value,
+        parent_of=dict(CFG.hierarchy_pairs()),
+        hierarchy_from_data=True,
+        summary_size=5,
+    )
+    job = StreamingJob(
+        work_dir=str(tmp_path / "job"), cfg=CFG, tail=tail_data,
+        size_s=300, slide_s=60, with_hierarchy=True,
+    )
+    stream = build_page_records(read_pages_stream(spark, str(pages)), CFG)
+    q1 = job.start_aggregate_query(stream)
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = job.start_detect_query(spark)
+    q2.processAllAvailable()
+    q2.stop()
+
+    rca = spark.read.parquet(job.rca_dir)
+    assert rca.filter(F.col("dim_level") > 1).count() > 0
+
+    def _replay(cfg: TailConfig):
+        replay = StreamingTail(cfg)
+        out = []
+        for f in sorted(os.listdir(job.aggs_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
+            if len(chunk) == 0:
+                continue
+            for ws, cur, rec, bd, hier in rows_to_windows(chunk):
+                out.extend(replay.process_window(ws, cur, rec, bd, hier))
+        return sorted(
+            (e["seq"], e["dim_group"], e["dim_level"], e["dim_name"],
+             e["dim_value"], f"{e['cost']:.6f}")
+            for e in out if e["row_type"] == "rca"
+        )
+
+    got = sorted(
+        (r.seq, r.dim_group, r.dim_level, r.dim_name, r.dim_value, f"{r.cost:.6f}")
+        for r in rca.collect()
+    )
+    assert got == _replay(tail_data)
+    # co-occurrence resolution == derivable-fn resolution on pages
+    assert got == _replay(_pages_tail(max_value))
+
+
 def test_streaming_zscore_matches_replay(spark, tmp_path):
     """EWMA z-score state held in the state store across micro-batches
     (north_star): streaming output == pure-Python replay of the same
@@ -240,8 +388,8 @@ def test_streaming_zscore_matches_replay(spark, tmp_path):
             continue
         chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
         if len(chunk):
-            for ws, cur, rec, bd in rows_to_windows(chunk):
-                expected.extend(replay.process_window(ws, cur, rec, bd))
+            for ws, cur, rec, bd, hier in rows_to_windows(chunk):
+                expected.extend(replay.process_window(ws, cur, rec, bd, hier))
 
     got = sorted(
         (r.seq, r.window_start_epoch, f"{r.current:.6f}", f"{r.baseline:.6f}",

@@ -83,8 +83,8 @@ def test_streaming_macrobase_matches_replay(spark, tmp_path):
         chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
         if len(chunk) == 0:
             continue
-        for ws, cur, rec, bd in rows_to_windows(chunk):
-            expected.extend(replay.process_window(ws, cur, rec, bd))
+        for ws, cur, rec, bd, hier in rows_to_windows(chunk):
+            expected.extend(replay.process_window(ws, cur, rec, bd, hier))
 
     exp_alerts = [e for e in expected if e["row_type"] == "alert"]
     exp_rca = [e for e in expected if e["row_type"] == "rca"]
