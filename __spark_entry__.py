@@ -334,22 +334,43 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over a binary column derived from documents
-    (payload = utf-8 bytes of text): mapInPandas feature extraction
-    with the deterministic fake decoder. n_bytes/width/height/sha are
-    SQL-checkable; mean_byte is not expressible in SQL and is omitted
-    from the compared output."""
+    """Multimodal plumbing over SYNTHETIC PNG payloads (VERDICT r2 #7):
+    each document becomes a binary payload with a real PNG magic +
+    IHDR header (width = doc_id%500+1, height = doc_id%300+1, both
+    big-endian u32 at offsets 16/20) followed by the utf-8 text bytes.
+    The engine's width/height come from the HEADER PARSER
+    (operators/multimodal.py::parse_image_header) reading those bytes
+    — the oracle recomputes the dimensions from doc_id independently.
+    n_bytes covers the binary construction; content_sha gates the text
+    content (DuckDB's sha256 is VARCHAR-only, so the full-payload sha
+    is not SQL-reproducible for non-UTF8 binary); mean_byte (fake
+    pixel decode) is omitted from the compared output."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (F.col("doc_id") % 500 + 1).cast("int")
+    h = (F.col("doc_id") % 300 + 1).cast("int")
+    png_payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # magic+len+IHDR
+        F.unhex(F.lpad(F.hex(w), 8, "0")),
+        F.unhex(F.lpad(F.hex(h), 8, "0")),
+        F.unhex(F.lit("0806000000")),  # bit depth / color type / etc
+        F.encode("text", "utf-8"),
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("image/fake").alias("mime"),
+        png_payload.alias("payload"),
+        F.lit("image/png").alias("mime"),
         F.lit(None).cast("string").alias("source_url"),
         F.lit(None).cast("timestamp").alias("captured_ts"),
     )
     feats = extract_media_features(media, fake_decode=True)
-    return feats.select("media_id", "n_bytes", "width", "height", "payload_sha")
+    content = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+    return feats.join(content, "media_id").select(
+        "media_id", "n_bytes", "width", "height", "content_sha"
+    )
 
 
 # ------------------------------------------- hierarchical RCA over events
@@ -559,6 +580,73 @@ r AS (
   FROM tot t JOIN r ON t.idx = r.idx + 1
 )
 SELECT ws AS window_start_epoch,
+       floor(current*10000 + 0.5)/10000 AS current,
+       floor(mean_prev*10000 + 0.5)/10000 AS ewma_mean,
+       floor((current - mean_prev)/sqrt(var_prev)*10000 + 0.5)/10000 AS z
+FROM r
+WHERE var_prev > 0
+  AND (current - mean_prev)*(current - mean_prev) > {zz}*var_prev
+"""
+
+
+def q_zscore_alerts_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key tails (VERDICT r2 #4): one INDEPENDENT EWMA z-score
+    detector per event_type, all running in ONE applyInPandas query —
+    the generalization of the reference's keyBy(0) constant key. Each
+    key has its own window totals, deque and EWMA state; the groups
+    execute in parallel across cores (the first real >1-core use of
+    the post-aggregation stage). Oracle: the zscore recursive CTE
+    partitioned by key. Parity with N separate single-key runs is
+    additionally pytest-gated (tests/test_streaming.py)."""
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    records = _events(spark, sf_dir)
+    aggs = _q6_aggs(
+        long_form_window_aggs(records, events_config(), 1800, None, key="event_type")
+    )
+    tail = TailConfig(mode="zscore", ewma_alpha=0.1, ewma_z_threshold=2.0)
+    out = make_batch_tail(aggs, tail, key_col="tail_key")
+    return out.filter(F.col("row_type") == "alert").select(
+        F.col("tail_key").alias("event_type"),
+        "window_start_epoch",
+        _r4("current").alias("current"),
+        _r4("baseline").alias("ewma_mean"),
+        F.col("score").alias("z"),
+    )
+
+
+def _zscore_by_key_oracle_sql(alpha: float = 0.1, z_threshold: float = 2.0) -> str:
+    """Keyed twin of _zscore_oracle_sql: the recursion advances every
+    key's chain in lockstep (set-based recursive CTE), joined on
+    (key, idx)."""
+    a = repr(alpha)
+    zz = f"({z_threshold!r} * {z_threshold!r})"
+    return f"""
+WITH RECURSIVE tot AS (
+  SELECT k, ws, current, row_number() OVER (PARTITION BY k ORDER BY ws) AS idx FROM (
+    SELECT event_type AS k, CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws,
+           floor(sum(value)*1000000 + 0.5)/1000000 AS current
+    FROM events GROUP BY 1, 2
+  )
+),
+r AS (
+  SELECT k, idx, ws, current,
+         CAST(NULL AS DOUBLE) AS mean_prev, CAST(NULL AS DOUBLE) AS var_prev,
+         floor(current*1000000 + 0.5)/1000000 AS mean, CAST(0.0 AS DOUBLE) AS var
+  FROM tot WHERE idx = 1
+  UNION ALL
+  SELECT t.k, t.idx, t.ws, t.current, r.mean, r.var,
+         floor(({a}*t.current + (1.0 - {a})*r.mean)*1000000 + 0.5)/1000000,
+         floor(((1.0 - {a})*(r.var + {a}*(t.current - r.mean)*(t.current - r.mean)))*1000000 + 0.5)/1000000
+  FROM tot t JOIN r ON t.k = r.k AND t.idx = r.idx + 1
+)
+SELECT k AS event_type, ws AS window_start_epoch,
        floor(current*10000 + 0.5)/10000 AS current,
        floor(mean_prev*10000 + 0.5)/10000 AS ewma_mean,
        floor((current - mean_prev)/sqrt(var_prev)*10000 + 0.5)/10000 AS z
@@ -784,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_contributors_cooc": q_hierarchical_contributors_cooc,
         "session_windows": q_session_windows,
         "zscore_alerts": q_zscore_alerts,
+        "zscore_alerts_by_key": q_zscore_alerts_by_key,
         "macrobase_alerts": q_macrobase_alerts,
         "macrobase_summaries": q_macrobase_summaries,
         "exact_duplicates": q_exact_duplicates,
@@ -1119,13 +1208,15 @@ SELECT query_id, vec_id, floor(cosine*10000 + 0.5)/10000 AS cosine, rank
 FROM r WHERE rank <= 10
 """
 
+# synthetic-PNG twin: 29 header bytes (16 magic+len+IHDR, 8 dims,
+# 5 depth/color) + text; dimensions recomputed from doc_id — the
+# engine's come from parsing the actual header bytes
 _MEDIA_SQL = """
 SELECT doc_id AS media_id,
-       octet_length(encode(text)) AS n_bytes,
-       CAST(greatest(1, floor(sqrt(octet_length(encode(text))))) AS INTEGER) AS width,
-       CAST(greatest(1, octet_length(encode(text)) //
-            greatest(1, floor(sqrt(octet_length(encode(text))))::BIGINT)) AS INTEGER) AS height,
-       sha256(text) AS payload_sha
+       29 + octet_length(encode(text)) AS n_bytes,
+       CAST(doc_id % 500 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 300 + 1 AS INTEGER) AS height,
+       sha256(text) AS content_sha
 FROM documents
 """
 
@@ -1406,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchical_contributors_cooc": _HIER_COOC_SQL,
         "session_windows": _SESSION_SQL,
         "zscore_alerts": _zscore_oracle_sql(),
+        "zscore_alerts_by_key": _zscore_by_key_oracle_sql(),
         "macrobase_alerts": _macrobase_alerts_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

