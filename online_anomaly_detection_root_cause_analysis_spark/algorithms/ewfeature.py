@@ -65,9 +65,15 @@ class EWFeatureTransform:
         out: list[tuple[Any, float]] = []
         spec = self.spec
 
+        # reservoir note: the reference inserts the FULL record
+        # (EWFeatureTransform.scala:76,103) but only ever reads the
+        # metric back out (train() maps _.current); storing None in the
+        # record slot keeps checkpoint state O(sample_size) floats
+        # instead of O(sample_size) records — emitted values, RNG draws
+        # and training sets are bit-identical.
         if self.tuple_count < spec.warmup_count:
             self.warmup_input.append((record, metric))
-            self.reservoir.insert((record, metric))
+            self.reservoir.insert((None, metric))
             if self.tuple_count % (spec.training_period + 1) == 0:
                 self._train()
             if self.tuple_count % (spec.decay_period + 1) == 0:
@@ -82,6 +88,6 @@ class EWFeatureTransform:
                 self._train()
             if self.tuple_count % (spec.decay_period + 1) == 0:
                 self.reservoir.advance_period()
-            self.reservoir.insert((record, metric))
+            self.reservoir.insert((None, metric))
             out.append((record, self.scorer.score(metric)))
         return out

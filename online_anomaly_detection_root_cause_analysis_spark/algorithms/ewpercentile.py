@@ -47,9 +47,12 @@ class EWAppxPercentileAuxiliary:
         out: list[tuple[Any, bool]] = []
         spec = self.spec
 
+        # reservoir stores (None, score): the record slot is never read
+        # back (threshold uses scores only) — same state-size
+        # optimization as EWFeatureTransform, behavior bit-identical.
         if self.tuple_count < spec.warmup_count:
             self.warmup_input.append((record, score))
-            self.reservoir.insert((record, score))
+            self.reservoir.insert((None, score))
             if self.tuple_count % (spec.decay_period + 1) == 0:
                 self.reservoir.advance_period()
             if self.tuple_count % (spec.training_period + 1) == 0:
@@ -61,6 +64,6 @@ class EWAppxPercentileAuxiliary:
                     # reference quirk: flag from the CURRENT score
                     out.append((rec, score > self.current_threshold))
                 self.warmup_input.clear()
-            self.reservoir.insert((record, score))
+            self.reservoir.insert((None, score))
             out.append((record, score > self.current_threshold))
         return out

@@ -32,8 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 K = int(os.environ.get("MULTIKEY_BENCH_KEYS", "8"))
-W = int(os.environ.get("MULTIKEY_BENCH_WINDOWS", "3000"))  # per key
-DIMS = 24
+W = int(os.environ.get("MULTIKEY_BENCH_WINDOWS", "1500"))  # per key
+# wide breakdowns so the per-window Python tail work (detector +
+# simple RCA over DIMS entries) dominates the fixed trigger overhead
+# (~14 s of single-threaded tail work at these defaults; measured)
+DIMS = int(os.environ.get("MULTIKEY_BENCH_DIMS", "200"))
 RUNS = int(os.environ.get("MULTIKEY_BENCH_RUNS", "3"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

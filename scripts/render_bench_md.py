@@ -1,0 +1,266 @@
+"""Regenerate BENCH/BASELINE.md from the measurement artifacts.
+
+Single source of truth for bench numbers (VERDICT r2 #5: committed
+prose must quote the driver artifacts, not a builder's best local
+run). Inputs, all optional except the bench JSON:
+
+- BENCH_r{NN}.json   — the driver's per-round bench artifact (uses the
+                       newest by round number; its "parsed" field is
+                       bench.py's JSON line). Override with --bench
+                       pointing at a raw bench.py output file.
+- BENCH_scaling.json — scripts/scaling_bench.py output.
+- BENCH/multikey.json — scripts/multikey_bench.py output.
+- CORRECTNESS_r{NN}.json — newest driver correctness gate (for the
+                       hash-green counts).
+
+Usage: python scripts/render_bench_md.py [--bench FILE] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest(pattern: str) -> str | None:
+    files = glob.glob(os.path.join(REPO, pattern))
+    if not files:
+        return None
+
+    def round_no(f: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", f)
+        return int(m.group(1)) if m else -1
+
+    return max(files, key=round_no)
+
+
+def _load(path: str | None) -> dict | None:
+    if path is None or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_bench(explicit: str | None) -> tuple[dict, str]:
+    if explicit:
+        with open(explicit) as f:
+            return json.load(f), os.path.relpath(explicit, REPO)
+    latest = _latest("BENCH_r*.json")
+    if latest is None:
+        raise SystemExit("no BENCH_r*.json found; pass --bench")
+    data = _load(latest)
+    parsed = data.get("parsed") if isinstance(data, dict) else None
+    if parsed is None:
+        raise SystemExit(f"{latest} has no 'parsed' field")
+    return parsed, os.path.basename(latest)
+
+
+def query_table(queries: dict[str, float]) -> str:
+    names = list(queries)
+    half = (len(names) + 1) // 2
+    left, right = names[:half], names[half:]
+    lines = ["| query | sec | | query | sec |", "|---|---|---|---|---|"]
+    for i in range(half):
+        l = f"| {left[i]} | {queries[left[i]]:.2f} |"
+        r = (
+            f" | {right[i]} | {queries[right[i]]:.2f} |"
+            if i < len(right)
+            else " | | |"
+        )
+        lines.append(l + r)
+    return "\n".join(lines)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    bench, bench_src = load_bench(args.bench)
+    scaling = _load(os.path.join(REPO, "BENCH_scaling.json"))
+    multikey = _load(os.path.join(REPO, "BENCH", "multikey.json"))
+    correctness_file = _latest("CORRECTNESS_r*.json")
+    correctness = _load(correctness_file)
+
+    q = bench["queries"]
+    total = bench["value"]
+    nq = len(q)
+    wps = bench.get("windows_per_sec")
+    sf = bench.get("sf")
+    cpus = bench.get("cpus")
+    runs = bench.get("runs_per_query")
+    excluded = bench.get("excluded", {})
+
+    parts: list[str] = []
+    parts.append(
+        f"""# BENCH/BASELINE — measured numbers
+
+**GENERATED** by `scripts/render_bench_md.py` from `{bench_src}`,
+`BENCH_scaling.json`, `BENCH/multikey.json` and
+`{os.path.basename(correctness_file) if correctness_file else "CORRECTNESS_r*.json"}` — regenerate, don't edit
+(single-source-of-truth rule: committed prose always equals the
+driver-recorded artifacts).
+
+All numbers from this sandbox: one Firecracker VM, 32 logical cores,
+125 GiB RAM, PySpark 4.1.2 local mode, ParallelGC, 16 g driver heap.
+The reference publishes no benchmark numbers (BASELINE.md); targets
+come from BASELINE.json.
+
+## Headline suite (sf{sf}, local[{cpus}], `python bench.py`)
+
+Protocol: per-query **{bench.get('aggregation', 'median over fresh-JVM runs')}**
+({runs} runs; bench.py spawns a subprocess per run — single-run
+numbers swing with host co-tenancy). **Total {total} s over
+{nq} timed queries.**
+
+{query_table(q)}
+
+Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
+(row counts in the bench JSON; includes full dimension breakdowns).
+"""
+    )
+    if excluded:
+        parts.append("Deliberately excluded from the timed suite (reason printed in the bench JSON — no silent caps):\n")
+        for name, reason in excluded.items():
+            parts.append(f"- `{name}`: {reason}\n")
+
+    if scaling:
+        s = scaling["streaming"]
+        b = scaling["batch_aggregation"]
+        lo, hi = s.get("local8"), s.get("local32")
+        mft1 = s.get("local32_maxFilesPerTrigger1")
+        parts.append(
+            f"""
+## Streaming job ({scaling['pages']:,} pages end-to-end, scripts/scaling_bench.py phase B)
+
+| | local[8] | local[32] |
+|---|---|---|
+| finalized windows | {lo['n_windows']:,} | {hi['n_windows']:,} |
+| windows/sec (end-to-end, incl. detect tail) | {lo['windows_per_sec']:.0f} | {hi['windows_per_sec']:.0f} |
+| p95 micro-batch trigger | {lo['p95_trigger_ms']/1000:.1f} s | {hi['p95_trigger_ms']/1000:.1f} s |
+| p95 aggs-commit -> alerts-commit latency | {lo['p95_commit_latency_sec']:.1f} s | {hi['p95_commit_latency_sec']:.1f} s |
+
+Alert/RCA rows are byte-identical across parallelism levels and across
+kill/restart (tests). Throughput at this scale is trigger-overhead
+bound (few triggers of ~75k rows), not compute bound — hence flat
+across core counts.
+"""
+        )
+        if mft1:
+            parts.append(
+                f"""### Latency knob: maxFilesPerTrigger (VERDICT r2 #8)
+
+Same job at local[32], source trigger size 8 files vs 1 file —
+substantiating "latency = trigger cadence, not algorithmic cost":
+
+| maxFilesPerTrigger | windows/sec | p95 trigger | p95 commit latency |
+|---|---|---|---|
+| 8 (throughput mode) | {hi['windows_per_sec']:.0f} | {hi['p95_trigger_ms']/1000:.1f} s | {hi['p95_commit_latency_sec']:.1f} s |
+| 1 (latency mode) | {mft1['windows_per_sec']:.0f} | {mft1['p95_trigger_ms']/1000:.1f} s | {mft1['p95_commit_latency_sec']:.1f} s |
+"""
+            )
+        parts.append(
+            f"""
+## Scaling efficiency (N -> 4N target >= 0.8): what the sandbox can and cannot show
+
+The north_rule criterion is executor-count scaling on a real cluster.
+This sandbox substitutes thread-count scaling inside ONE VM
+(BENCH_scaling.json, interleaved repeats so the host's sustained-load
+throttle doesn't systematically penalize whichever level runs last):
+
+- **Phase A (extract -> window-agg -> write -> minhash, {scaling['pages']:,} pages):**
+  local[4] {b['local4']['wall_sec']:.1f} s -> local[16] {b['local16']['wall_sec']:.1f} s median
+  / {b['local16']['wall_sec_min']:.1f} s best -> local[32] {b['local32']['wall_sec']:.1f} s.
+  Positive 4->16 scaling (speedup {b['speedup_4_to_16']:.2f} median,
+  {b['speedup_4_to_16_burst']:.2f} best), regression past 16 threads at
+  the host ceilings below.
+
+Three measured host/JVM properties make a sustained >=0.8
+thread-scaling number unobtainable *for any engine* here:
+
+1. **Burst CPU scales, sustained CPU throttles.** Multiprocess Python
+   scales ~26x at 32 procs in 3-second bursts, but a 30-second
+   sustained 32-proc burn delivers ~50% of burst per-core throughput
+   (4-proc sustains ~78%). Higher thread counts measure the throttle,
+   not the engine.
+2. **Shared memory bandwidth.** The page-scan stages move ~1 KB
+   strings per row; beyond ~8-16 threads the bus saturates. On a real
+   4N-executor cluster each executor adds its own memory bus.
+3. **GC interactions.** Default G1 collapsed 4.7x at >12 threads on
+   this VM (fixed with ParallelGC), and an oversized heap anti-scales
+   (fixed at 16 g in round 2) — see session.py; both are single-JVM
+   artifacts a multi-executor cluster does not share.
+
+What the engine contributes to N->4N scaling is architectural, and is
+verified by plan tests rather than wall-clock here:
+
+- exactly ONE data-volume-proportional shuffle (window x dimension
+  aggregation), hash-partitioned on (window, dim_name, dim_value),
+  with optional salted two-level aggregation for hot values
+  (`dimension_breakdown(salt_buckets=...)`, oracle-verified equal);
+- partial (map-side) aggregation before that shuffle — Catalyst
+  partial+final HashAggregate pair asserted in tests/test_plans.py;
+- the serial tail consumes one row per window slide (pre-aggregated),
+  identical to the reference's parallelism-1 design — and since round
+  3 it generalizes to **multi-key tails** (below), removing even that
+  serialization when detectors are per-key;
+- dedup/similarity pair-expansion is bounded by df-caps / bucket caps
+  (skew guards), so no reducer grows superlinearly.
+"""
+        )
+
+    if multikey:
+        sk, mk = multikey["single_key"], multikey["multi_key"]
+        parts.append(
+            f"""
+## Multi-key tails (VERDICT r2 #4; scripts/multikey_bench.py)
+
+Detect stage (applyInPandasWithState, MacroBase scorer+classifier +
+simple RCA) over the SAME {multikey['keys'] * multikey['windows_per_key']:,}
+finalized windows at local[{multikey['cpus']}], single detector vs
+{multikey['keys']} independent per-key detectors
+({multikey['aggregation']}, {multikey['runs']} runs):
+
+| | single key (reference keyBy(0)) | {multikey['keys']}-key |
+|---|---|---|
+| wall | {sk['wall_sec']:.1f} s | {mk['wall_sec']:.1f} s |
+| windows/sec | {sk['windows_per_sec']:,.0f} | {mk['windows_per_sec']:,.0f} |
+
+**Speedup {multikey['speedup']:.2f}x** — the post-aggregation stage's
+first real use of >1 core. The single-key path remains available for
+exact reference parity (keyBy(0) semantics).
+"""
+        )
+
+    if correctness:
+        n_total = len(correctness)
+        n_hash = sum(1 for v in correctness.values() if v.get("hash_match"))
+        n_no_oracle = sum(
+            1 for v in correctness.values() if v.get("err") == "no_oracle"
+        )
+        parts.append(
+            f"""
+## Correctness gate status ({os.path.basename(correctness_file)})
+
+{n_hash}/{n_total} driver queries value-hash-match their DuckDB
+oracles (rows+schema+hash all true); {n_no_oracle} rows-only
+(`no_oracle`: the stateful MacroBase FP-growth summarizer, golden- and
+replay-parity-gated instead — its detector half is hash-gated via
+`macrobase_alerts`). tests/test_oracle_parity.py mirrors the gate at
+sf0.001; the driver runs it at sf0.01.
+"""
+        )
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(parts).strip() + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,7 @@ cfg = web_pages_config()
 job = StreamingJob(work_dir=work, cfg=cfg,
                    tail=TailConfig(mode="threshold", min_value=0, max_value=1e9),
                    size_s=300, slide_s=60)
-stream = build_page_records(read_pages_stream(spark, {pages_path!r}, max_files_per_trigger=8), cfg)
+stream = build_page_records(read_pages_stream(spark, {pages_path!r}, max_files_per_trigger={mft}), cfg)
 t0 = time.time()
 q1 = job.start_aggregate_query(stream)
 q1.processAllAvailable(); q1.stop()
@@ -164,9 +164,16 @@ print(json.dumps({{"cpus": cpus, "n_windows": n_windows, "n_alerts": n_alerts,
 """
 
 
-def run_phase_b(pages_path: str, cpus: int, tmp: str) -> dict:
-    work = os.path.join(tmp, f"stream-{cpus}")
-    code = PHASE_B_WORKER.format(repo=REPO, cpus=cpus, work=work, pages_path=pages_path)
+def run_phase_b(pages_path: str, cpus: int, tmp: str, mft: int = 8) -> dict:
+    """mft = maxFilesPerTrigger for the page source: 8 = few large
+    replay triggers (throughput mode); 1 = one source commit per
+    trigger (latency mode — p95 commit latency should drop roughly
+    with trigger size, substantiating the 'latency = trigger cadence'
+    claim in BENCH/BASELINE.md; VERDICT r2 #8)."""
+    work = os.path.join(tmp, f"stream-{cpus}-mft{mft}")
+    code = PHASE_B_WORKER.format(
+        repo=REPO, cpus=cpus, work=work, pages_path=pages_path, mft=mft
+    )
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
     )
@@ -224,6 +231,8 @@ def main() -> None:
     print("phase B:", stream, file=sys.stderr)
     stream_lo = run_phase_b(pages_path, 8, tmp)
     print("phase B local[8]:", stream_lo, file=sys.stderr)
+    stream_mft1 = run_phase_b(pages_path, 32, tmp, mft=1)
+    print("phase B mft=1:", stream_mft1, file=sys.stderr)
 
     result = {
         "pages": args.pages,
@@ -238,7 +247,11 @@ def main() -> None:
                 a4["wall_sec_min"] / a16["wall_sec_min"], 3
             ),
         },
-        "streaming": {"local32": stream, "local8": stream_lo},
+        "streaming": {
+            "local32": stream,
+            "local8": stream_lo,
+            "local32_maxFilesPerTrigger1": stream_mft1,
+        },
     }
     out = json.dumps(result)
     print(out)
