@@ -180,6 +180,41 @@ def main() -> None:
     def med(variant: str, field: str) -> float:
         return statistics.median(r[field] for r in results[variant])
 
+    # per-core capability of the tail itself (no Spark): how many
+    # window-updates one Python thread sustains on this exact workload
+    # — contextualizes the Spark numbers (the detect stage is
+    # Arrow-transfer-bound whenever the key-aggregate rate is below
+    # this per-core figure x keys)
+    import time as _time
+
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        StreamingTail,
+        TailConfig,
+        rows_to_windows,
+    )
+
+    tail = StreamingTail(
+        TailConfig(
+            mode="macrobase",
+            rca_mode="simple",
+            detector_spec=EWFeatureSpec(
+                warmup_count=100, sample_size=1000, decay_period=100,
+                decay_rate=0.01, training_period=100, percentile=0.95,
+            ),
+        )
+    )
+    pdf1 = _aggs_frame(False)
+    pdf1 = pdf1[pdf1["window_start_epoch"] < 1704067200 + W * 60]  # one key's share
+    t0 = _time.time()
+    nw = 0
+    for tup in rows_to_windows(pdf1):
+        tail.process_window(*tup)
+        nw += 1
+    pure_wps = round(nw / (_time.time() - t0), 1)
+
     single = {"wall_sec": med("single", "wall_sec"),
               "windows_per_sec": med("single", "windows_per_sec")}
     keyed = {"wall_sec": med("keyed", "wall_sec"),
@@ -189,6 +224,7 @@ def main() -> None:
         "cpus": CPUS, "keys": K, "windows_per_key": W, "dims": DIMS,
         "runs": RUNS, "aggregation": "median over fresh-JVM runs, interleaved",
         "single_key": single, "multi_key": keyed,
+        "pure_python_tail_windows_per_sec_per_core": pure_wps,
         "speedup": round(single["wall_sec"] / keyed["wall_sec"], 2)
         if keyed["wall_sec"] else None,
         "raw": results,

@@ -146,6 +146,10 @@ Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
 | p95 micro-batch trigger | {lo['p95_trigger_ms']/1000:.1f} s | {hi['p95_trigger_ms']/1000:.1f} s |
 | p95 aggs-commit -> alerts-commit latency | {lo['p95_commit_latency_sec']:.1f} s | {hi['p95_commit_latency_sec']:.1f} s |
 
+Both queries run CONCURRENTLY (aggregate commits stream straight into
+the detect tail — the production topology; round 2 measured them
+sequentially, which queued every aggs commit behind the whole
+aggregate run and inflated 'latency' to harness wall-clock).
 Alert/RCA rows are byte-identical across parallelism levels and across
 kill/restart (tests). Throughput at this scale is trigger-overhead
 bound (few triggers of ~75k rows), not compute bound — hence flat
@@ -158,6 +162,10 @@ across core counts.
 
 Same job at local[32], source trigger size 8 files vs 1 file —
 substantiating "latency = trigger cadence, not algorithmic cost":
+smaller triggers cut p95 commit latency
+{hi['p95_commit_latency_sec']/mft1['p95_commit_latency_sec']:.1f}x while
+throughput pays the per-trigger fixed overhead
+({hi['windows_per_sec']/mft1['windows_per_sec']:.1f}x fewer windows/sec):
 
 | maxFilesPerTrigger | windows/sec | p95 trigger | p95 commit latency |
 |---|---|---|---|
@@ -217,24 +225,39 @@ verified by plan tests rather than wall-clock here:
 
     if multikey:
         sk, mk = multikey["single_key"], multikey["multi_key"]
+        pure = multikey.get("pure_python_tail_windows_per_sec_per_core")
+        pure_line = (
+            f"The tail alone (no Spark) sustains **~{pure:,.0f} window-updates/sec "
+            f"per core** on this exact workload, so the detect stage here is "
+            f"Arrow-transfer/trigger-bound, not Python-bound — the measured "
+            f"gain is the parallelized Python share of the wall, as expected."
+            if pure
+            else ""
+        )
         parts.append(
             f"""
 ## Multi-key tails (VERDICT r2 #4; scripts/multikey_bench.py)
 
 Detect stage (applyInPandasWithState, MacroBase scorer+classifier +
-simple RCA) over the SAME {multikey['keys'] * multikey['windows_per_key']:,}
-finalized windows at local[{multikey['cpus']}], single detector vs
-{multikey['keys']} independent per-key detectors
-({multikey['aggregation']}, {multikey['runs']} runs):
+simple RCA over {multikey['dims']}-entry breakdowns) over the SAME
+{multikey['keys'] * multikey['windows_per_key']:,} finalized windows at
+local[{multikey['cpus']}], single detector vs {multikey['keys']}
+independent per-key detectors ({multikey['aggregation']},
+{multikey['runs']} runs):
 
 | | single key (reference keyBy(0)) | {multikey['keys']}-key |
 |---|---|---|
 | wall | {sk['wall_sec']:.1f} s | {mk['wall_sec']:.1f} s |
 | windows/sec | {sk['windows_per_sec']:,.0f} | {mk['windows_per_sec']:,.0f} |
 
-**Speedup {multikey['speedup']:.2f}x** — the post-aggregation stage's
-first real use of >1 core. The single-key path remains available for
-exact reference parity (keyBy(0) semantics).
+**Speedup {multikey['speedup']:.2f}x in this sandbox.** {pure_line}
+Where multi-key actually pays at scale: (a) aggregate per-key window
+rates above the per-core tail capability (thousands of keys x real
+rates — impossible for the single-subtask design the reference has),
+and (b) keyed state partitions across executors' state stores instead
+of pinning all detector state to one task. Parity with N separate
+single-key runs is test-gated; the single-key path remains for exact
+reference keyBy(0) semantics.
 """
         )
 

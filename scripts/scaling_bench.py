@@ -124,11 +124,16 @@ job = StreamingJob(work_dir=work, cfg=cfg,
 stream = build_page_records(read_pages_stream(spark, {pages_path!r}, max_files_per_trigger={mft}), cfg)
 t0 = time.time()
 q1 = job.start_aggregate_query(stream)
-q1.processAllAvailable(); q1.stop()
-t_agg = time.time() - t0
 # the serial tail shuffles one key; don't pay 32 state-store partitions
 spark.conf.set("spark.sql.shuffle.partitions", "4")
+os.makedirs(job.aggs_dir, exist_ok=True)  # detect's file source needs the dir
+# detect runs CONCURRENTLY with aggregate (the production topology) so
+# per-commit latency = aggs-commit -> alerts-commit is meaningful; the
+# sequential form queued every aggs file behind the whole aggregate
+# run and measured the harness, not the engine
 q2 = job.start_detect_query(spark)
+q1.processAllAvailable(); q1.stop()
+t_agg = time.time() - t0
 q2.processAllAvailable(); q2.stop()
 t_all = time.time() - t0
 
@@ -187,12 +192,42 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=600_000)
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--phase-b-only", action="store_true",
+        help="re-run only the streaming phase and merge into --out (or "
+        "BENCH_scaling.json), keeping the recorded phase A numbers",
+    )
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="scaling-bench-")
     t0 = time.time()
     pages_path = generate_pages_files(tmp, args.pages)
     print(f"generated {args.pages} pages in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.phase_b_only:
+        out_file = args.out or os.path.join(REPO, "BENCH_scaling.json")
+        with open(out_file) as f:
+            result = json.load(f)
+        stream = run_phase_b(pages_path, 32, tmp)
+        print("phase B:", stream, file=sys.stderr)
+        stream_lo = run_phase_b(pages_path, 8, tmp)
+        print("phase B local[8]:", stream_lo, file=sys.stderr)
+        stream_mft1 = run_phase_b(pages_path, 32, tmp, mft=1)
+        print("phase B mft=1:", stream_mft1, file=sys.stderr)
+        result["streaming"] = {
+            "local32": stream,
+            "local8": stream_lo,
+            "local32_maxFilesPerTrigger1": stream_mft1,
+        }
+        out = json.dumps(result)
+        print(out)
+        with open(out_file, "w") as f:
+            f.write(out + "\n")
+        if not args.keep:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return
 
     # N -> 4N at two operating points: 4->16 cores is the 4x proxy on
     # one box; 16->32 additionally exercises (and documents) single-box
