@@ -333,6 +333,75 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus planted duplicates, derived identically in the
+    DuckDB oracle: every vec_id%20==0 gets an exact copy at +1_000_000;
+    every vec_id%10==0 gets a near-copy at +2_000_000 with
+    v'[i] = v[i] + 0.15*v[(i mod 64)+1] (cosine ~0.99 regardless of
+    the base vector — the perturbation is a small rotated admixture)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    idx = F.sequence(F.lit(1), F.lit(64))
+    vd = F.col("embedding")
+    near_vec = F.transform(
+        idx,
+        lambda i: F.element_at(vd, i.cast("int"))
+        + F.lit(0.15) * F.element_at(vd, ((i % 64) + 1).cast("int")),
+    )
+    near = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), near_vec.alias("embedding")
+    )
+    return emb.unionByName(exact).unionByName(near)
+
+
+_EMB_CORPUS_SQL = """
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(generate_series(1, 64), i -> v[i] + 0.15*v[(i % 64) + 1])
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  WHERE vec_id % 10 = 0
+"""
+
+
+def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the last dedup modality from
+    the task list): LSH bucket blocking -> exact cosine verify; oracle
+    = the exact corpus-wide pair set (O(n^2) is fine at oracle scale,
+    never run by the engine). Coverage of the true pair set at this
+    operating point is deterministic and pytest-asserted, like
+    near_duplicates."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    p = embedding_near_duplicates(
+        _emb_corpus(spark, sf_dir), threshold=0.9, bits=8, tables=8
+    )
+    return p.select(
+        "vec_a", "vec_b",
+        (F.floor(F.col("cosine") * 10000.0 + 0.5) / 10000.0).alias("cosine"),
+    )
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.v, b.v) AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, floor(cosine*10000 + 0.5)/10000 AS cosine
+FROM pairs WHERE cosine >= 0.9
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over SYNTHETIC PNG payloads (VERDICT r2 #7):
     each document becomes a binary payload with a real PNG magic +
@@ -885,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_near_duplicates": q_embedding_near_duplicates,
         "media_features": q_media_features,
     }
 
@@ -1513,6 +1583,8 @@ def oracle_sql() -> dict[str, str]:
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle
         "embedding_topk_lsh": _EMB_BRUTE_SQL,
+        # LSH blocking must find exactly the corpus-wide exact pair set
+        "embedding_near_duplicates": _EMB_NEAR_DUP_SQL,
         "media_features": _MEDIA_SQL,
         # macrobase_summaries (stateful/iterative) -> rows-only check;
         # golden-value coverage lives in tests/test_macrobase_chain.py

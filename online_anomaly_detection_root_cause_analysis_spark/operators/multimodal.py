@@ -145,6 +145,67 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, out_width int, out_height int, "
+    "pixels binary"
+)
+
+
+def resize_images(
+    media: DataFrame, max_dim: int = 64, fake_decode: bool = True
+) -> DataFrame:
+    """Deterministic nearest-neighbor image resize over mapInPandas —
+    the resize stage of the task's decode/feature-extract/resize/
+    frame-sample set.
+
+    REAL parts: header-parsed source dimensions (parse_image_header),
+    aspect-preserving scale math, nearest-neighbor index sampling, and
+    the Arrow-batched mapInPandas plumbing (schema, batch shape,
+    partition parallelism). STUBBED part (no image libs in this
+    container): the pixel grid comes from the deterministic fake
+    decode — the payload's raw bytes cycled into an (h, w) grayscale
+    array — so a real decoder drops in by replacing one line. Output
+    is byte-deterministic per input."""
+    import numpy as np  # noqa: F811 (worker-side import)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    w, h = parsed
+                else:
+                    w, h, _ = _fake_decode(b)
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "real pixel decoding needs PIL/opencv; fake_decode=True "
+                        "uses the deterministic byte-grid stand-in"
+                    )
+                n = max(1, w * h)
+                buf = np.frombuffer(b, dtype=np.uint8)
+                if len(buf) == 0:
+                    buf = np.zeros(1, dtype=np.uint8)
+                grid = np.resize(buf, n).reshape(h, w) if w * h else np.zeros((1, 1), np.uint8)
+                scale = min(1.0, max_dim / max(w, h))
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                yi = (np.arange(oh) * (h / oh)).astype(int)
+                xi = (np.arange(ow) * (w / ow)).astype(int)
+                out = grid[yi][:, xi]
+                rows.append((int(mid), int(w), int(h), ow, oh, out.tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "out_width", "out_height",
+                    "pixels",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(fn, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame index,
     derived from metadata only (the decode of each frame is the

@@ -104,6 +104,65 @@ def hyperplanes(dim: int, bits: int = 12, seed: int = 11) -> list[list[float]]:
     return rng.normal(size=(bits, dim)).round(6).tolist()
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the embedding-space twin
+    of dedup.near_duplicates: hyperplane-LSH bucket blocking (a pair is
+    a candidate iff it shares a bucket in ANY of the L tables), then
+    exact cosine verification of the candidates only. Never a
+    corpus-wide pair expansion: the self-join runs per (table, bucket)
+    with a hot-bucket cap (`max_bucket`), mirroring minhash banding's
+    max_group guard.
+
+    Recall geometry: at cos >= 0.9 (theta <= 25.8 deg) one 8-bit table
+    collides w.p. (1-theta/pi)^8 ~ 0.29, >=1 of 8 tables ~ 0.94; at
+    the planted-dup operating point (cos ~ 0.99) coverage is ~0.9999 —
+    and since the hyperplanes are seeded, coverage on a GIVEN corpus is
+    deterministic (asserted in tests, the same precondition discipline
+    as near_duplicates). Exact duplicates always collide (identical
+    sign patterns in every table)."""
+    table_planes = [hyperplanes(dim, bits, seed + 97 * t) for t in range(tables)]
+    buckets_udf = make_multi_bucket_udf(table_planes)
+    v = F.col(vec_col).cast("array<double>")
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        F.posexplode(buckets_udf(v)).alias("table_id", "bucket"),
+    )
+    sizes = e.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    e = e.join(
+        sizes.filter(F.col("_n") <= max_bucket), ["table_id", "bucket"], "left_semi"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return cand.select(
+        "vec_a", "vec_b", cosine_udf(F.col("_va"), F.col("_vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

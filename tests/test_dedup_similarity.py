@@ -207,6 +207,111 @@ def test_image_header_parsing():
     ]
 
 
+def test_embedding_near_duplicates_coverage(spark):
+    """Embedding-cosine near-dup: the LSH-blocked pair set must equal
+    the exact corpus-wide pair set on the planted-dup corpus (the
+    driver-gate precondition, deterministic because hyperplanes are
+    seeded), and every planted exact/near pair must be present."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    corpus = entry_mod._emb_corpus(spark, SF_DIR).cache()
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_duplicates(corpus, threshold=0.9).collect()
+    }
+    # exact O(n^2) truth via the brute-force scorer on the same corpus
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        cosine_udf,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_udf(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    assert exact, "corpus should contain planted duplicate pairs"
+    assert set(got) == set(exact)
+    # planted pairs behave as designed: exact copies at cosine ~1,
+    # near copies (rotated admixture) at ~0.99
+    base_ids = {r.vec_id for r in corpus.filter(F.col("vec_id") < 1_000_000).collect()}
+    for vid in base_ids:
+        if vid % 20 == 0:
+            assert (vid, vid + 1_000_000) in got
+            assert got[(vid, vid + 1_000_000)] > 0.999
+        if vid % 10 == 0:
+            assert (vid, vid + 2_000_000) in got
+            assert 0.97 < got[(vid, vid + 2_000_000)] < 1.0
+    corpus.unpersist()
+
+
+def test_embedding_topk_lsh_operating_point_covers_brute(spark):
+    """ADVICE r2: the driver gates embedding_topk_lsh against exact
+    brute-force SQL on a measured recall-saturation claim. Hyperplanes
+    are seeded, so coverage is deterministic per corpus — assert the
+    PRECONDITION directly: at the driver operating point (bits=5,
+    tables=16, multiprobe=5) the ANN result equals brute force
+    pair-for-pair."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, queries, k=10).collect()}
+    ann = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in lsh_topk(emb, queries, k=10, bits=5, tables=16, multiprobe=5).collect()
+    }
+    assert ann == brute
+
+
+def test_resize_images(spark):
+    """Resize plumbing: header-parsed dims drive an aspect-preserving
+    nearest-neighbor downsample; output is byte-deterministic and the
+    pixel buffer length equals out_width*out_height."""
+    import struct
+
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 200, 100) + b"\x08\x06\x00\x00\x00" + bytes(range(256)) * 4
+    )
+    rows = [
+        (1, "image", png, "image/png", None, None),
+        (2, "image", b"j" * 900, "image/fake", None, None),  # fake 30x30
+        (3, "image", b"", "image/fake", None, None),         # empty payload
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "media_id", "kind", "payload", "mime", "source_url", "captured_ts",
+        ]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, max_dim=64).collect()}
+    r1 = out[1]
+    assert (r1.width, r1.height) == (200, 100)  # header-parsed, not fake
+    assert (r1.out_width, r1.out_height) == (64, 32)  # aspect preserved
+    assert len(r1.pixels) == 64 * 32
+    r2 = out[2]
+    assert (r2.width, r2.height) == (30, 30)
+    assert (r2.out_width, r2.out_height) == (30, 30)  # never upscale
+    assert bytes(r2.pixels) == b"j" * 900
+    assert out[3].out_width == 1 and out[3].out_height == 1
+    # byte-deterministic across runs
+    again = {r.media_id: bytes(r.pixels) for r in resize_images(media, max_dim=64).collect()}
+    assert {k: bytes(v.pixels) for k, v in out.items()} == again
+
+
 def test_multimodal_plumbing(spark):
     media = make_fake_media(spark, n=120)
     feats = extract_media_features(media, fake_decode=True)
