@@ -95,6 +95,28 @@ def test_text_features_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan
 
 
+def test_hierarchical_cooc_stays_jvm_side(spark):
+    """The data-dependent hierarchy path is pure column math + joins —
+    the co-occurrence pairs must not drag anything into Python, and the
+    small alert set still broadcasts."""
+    df = e.q_hierarchical_contributors_cooc(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """The embedding near-dup pair generation must be bucket-blocked:
+    no cartesian/nested-loop pair expansion anywhere in the plan (the
+    only joins are the equi-join on (table_id, bucket) with the
+    vec_id inequality as a post-condition)."""
+    df = e.q_embedding_near_duplicates(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # pandas UDFs only (Arrow)
+
+
 def test_near_duplicates_candidates_not_force_broadcast(spark):
     """VERDICT r2 #3: the candidate side of near_duplicates carries NO
     mandatory broadcast hint — at tested scales AQE still picks a

@@ -311,6 +311,46 @@ def test_checkpoint_resume(spark, tmp_path):
     assert _norm_rows(got_rca) == _norm_rows(want_rca)
 
 
+def test_checkpoint_resume_multikey(spark, tmp_path):
+    """Kill + restart with KEYED tails: every per-key pickled state in
+    the store must survive the restart — the resumed run's alert
+    tables equal one uninterrupted run, per key."""
+    pdf = generate_pages(PagesSpec(n_pages=1600)).sort_values("warc_ts")
+    inc_path = tmp_path / "pages_inc"
+    inc_path.mkdir(parents=True)
+    _write_chunks(pdf.iloc[:800], inc_path, 3, start_idx=0)
+
+    tail = TailConfig(mode="zscore", ewma_alpha=0.2, ewma_z_threshold=1.0)
+
+    def run(work_dir: str, pages_path: str):
+        job = StreamingJob(
+            work_dir=work_dir, cfg=CFG, tail=tail, size_s=300, slide_s=60,
+            key="url_tld",
+        )
+        stream = build_page_records(read_pages_stream(spark, pages_path), CFG)
+        q1 = job.start_aggregate_query(stream)
+        q1.processAllAvailable()
+        q1.stop()
+        q2 = job.start_detect_query(spark)
+        q2.processAllAvailable()
+        q2.stop()
+        return job
+
+    work = str(tmp_path / "job_inc")
+    run(work, str(inc_path))
+    _write_chunks(pdf.iloc[800:], inc_path, 3, start_idx=3)
+    job = run(work, str(inc_path))
+
+    all_path = tmp_path / "pages_all"
+    all_path.mkdir(parents=True)
+    _write_chunks(pdf, all_path, 6)
+    gold = run(str(tmp_path / "job_gold"), str(all_path))
+
+    got = _norm_rows(spark.read.parquet(job.alerts_dir))
+    want = _norm_rows(spark.read.parquet(gold.alerts_dir))
+    assert got and got == want
+
+
 def test_watermark_handles_out_of_order(spark, pages_path_factory, tmp_path):
     spec = PagesSpec(n_pages=2000, out_of_order_fraction=0.05)
     pages_path = pages_path_factory("ooo", spec, n_files=6)
