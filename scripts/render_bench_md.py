@@ -130,6 +130,33 @@ Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
         for name, reason in excluded.items():
             parts.append(f"- `{name}`: {reason}\n")
 
+    # round-over-round: compare against the newest driver bench artifact
+    # that isn't the rendering source
+    prev_file = _latest("BENCH_r*.json")
+    if prev_file and os.path.basename(prev_file) != bench_src:
+        prev = (_load(prev_file) or {}).get("parsed")
+        if prev and prev.get("queries"):
+            pq = prev["queries"]
+            news = [k for k in q if k not in pq]
+            common_now = sum(v for k, v in q.items() if k in pq)
+            common_prev = sum(v for k, v in pq.items() if k in q)
+            moved = sorted(
+                ((k, q[k] - pq[k]) for k in q if k in pq),
+                key=lambda kv: -abs(kv[1]),
+            )[:5]
+            moved_s = ", ".join(f"{k} {d:+.1f} s" for k, d in moved)
+            parts.append(
+                f"""
+### vs {os.path.basename(prev_file)}
+
+Shared queries: {common_prev:.1f} s -> {common_now:.1f} s
+({common_now / common_prev:.2f}x). New this round:
+{', '.join(f'`{k}` ({q[k]:.1f} s)' for k in news) if news else 'none'}.
+Largest per-query moves (host co-tenancy swings of ±15% are normal —
+see protocol note above): {moved_s}.
+"""
+            )
+
     if scaling:
         s = scaling["streaming"]
         b = scaling["batch_aggregation"]
