@@ -66,7 +66,14 @@ def build_tail(args: argparse.Namespace) -> TailConfig:
         summary_size=args.summary_size,
         summarizer_spec=summarizer_spec,
         parent_of=dict(cfg.hierarchy_pairs()) if hier else None,
-        parent_value_fn=web_pages_parent_value if hier else None,
+        # --hierarchy-from-data resolves parent VALUES from each
+        # window's co-occurrence pairs (carried on the aggregate rows)
+        # instead of deriving them from the child value — required when
+        # the parent is an independent record field
+        hierarchy_from_data=hier and args.hierarchy_from_data,
+        parent_value_fn=(
+            web_pages_parent_value if hier and not args.hierarchy_from_data else None
+        ),
     )
     if args.detector == "threshold":
         return TailConfig(
@@ -110,7 +117,24 @@ def main() -> None:
     ap.add_argument("--watermark", default="0 seconds")
     ap.add_argument("--baseline-n", type=int, default=10)
     ap.add_argument("--summary-size", type=int, default=5)
-    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    ap.add_argument(
+        "--max-files-per-trigger", type=int, default=4,
+        help="source trigger size: larger = throughput mode, 1 = "
+        "latency mode (p95 commit latency ~ trigger cadence; see "
+        "BENCH/BASELINE.md)",
+    )
+    ap.add_argument(
+        "--key", default=None,
+        help="record column partitioning the job into one independent "
+        "detector per key value (multi-key tails); omit for the "
+        "reference's single keyBy(0) detector",
+    )
+    ap.add_argument(
+        "--hierarchy-from-data", action="store_true",
+        help="resolve hierarchical-RCA parent values from per-window "
+        "co-occurrence (parent = independent record field) instead of "
+        "deriving them from the child value",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="online-ad-rca")
@@ -121,6 +145,7 @@ def main() -> None:
     job = StreamingJob(
         work_dir=args.work, cfg=cfg, tail=build_tail(args),
         size_s=args.window, slide_s=args.slide, watermark=args.watermark,
+        with_hierarchy=args.hierarchy_from_data, key=args.key,
     )
     stream = build_page_records(
         read_pages_stream(spark, args.input, args.max_files_per_trigger), cfg

@@ -189,6 +189,10 @@ class StreamingJob:
         )
 
     def start_detect_query(self, spark: SparkSession):
+        # detect normally starts CONCURRENTLY with the aggregate query
+        # (alerts commit as aggs commit); its file source requires the
+        # directory to exist even before the first upstream commit
+        os.makedirs(self.aggs_dir, exist_ok=True)
         agg_schema = (
             "window_start_epoch long, dim_name string, dim_value string, "
             "dim_group string, dim_level int, dim_sum double, dim_count long"
