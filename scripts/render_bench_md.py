@@ -60,6 +60,32 @@ def load_bench(explicit: str | None) -> tuple[dict, str]:
     return parsed, os.path.basename(latest)
 
 
+def _repeat_note(scaling: dict) -> str:
+    rn = scaling.get("same_day_repeat_note")
+    if not rn:
+        return ""
+    e = rn["earlier_run"]
+    m = e["phase_a_median_wall_sec"]
+    b = e["phase_a_best_wall_sec"]
+    return f"""
+**Same-day repeat spread (both runs recorded, neither cherry-picked):**
+the full bench ran twice hours apart and the host's co-tenancy level
+visibly differed. Earlier run: phase A medians
+{m['local4']:.1f}/{m['local16']:.1f}/{m['local32']:.1f} s (4/16/32
+cores; best {b['local4']:.1f}/{b['local16']:.1f}/{b['local32']:.1f}),
+4->16 speedup {e['speedup_4_to_16']:.2f} median /
+{e['speedup_4_to_16_burst']:.2f} best; streaming
+{e['stream_local32_windows_per_sec']}/{e['stream_local8_windows_per_sec']}
+windows/sec (local[32]/local[8]); p95 commit latency
+{e['mft8_p95_commit_latency_sec']:.1f} s (mft=8) /
+{e['mft1_p95_commit_latency_sec']:.1f} s (mft=1). The later run (the
+tables above/below) is uniformly ~25-35% slower including single-JVM
+phases — host load, not code change (the git diff between runs touches
+only docs/CLI flags). The spread itself is the strongest evidence for
+the measurement-protocol caveats below.
+"""
+
+
 def query_table(queries: dict[str, float]) -> str:
     names = list(queries)
     half = (len(names) + 1) // 2
@@ -212,10 +238,14 @@ throttle doesn't systematically penalize whichever level runs last):
 - **Phase A (extract -> window-agg -> write -> minhash, {scaling['pages']:,} pages):**
   local[4] {b['local4']['wall_sec']:.1f} s -> local[16] {b['local16']['wall_sec']:.1f} s median
   / {b['local16']['wall_sec_min']:.1f} s best -> local[32] {b['local32']['wall_sec']:.1f} s.
-  Positive 4->16 scaling (speedup {b['speedup_4_to_16']:.2f} median,
-  {b['speedup_4_to_16_burst']:.2f} best), regression past 16 threads at
-  the host ceilings below.
+  4->16 speedup {b['speedup_4_to_16']:.2f} median /
+  {b['speedup_4_to_16_burst']:.2f} best-case{
+    '' if b['speedup_4_to_16'] > 1 else
+    ' — the median inverted under this run'"'"'s sustained-load'
+    ' throttle; the best-case (least-throttled) repeats still scale'
+  }; regression past 16 threads at the host ceilings below.
 
+{_repeat_note(scaling)}
 Three measured host/JVM properties make a sustained >=0.8
 thread-scaling number unobtainable *for any engine* here:
 
