@@ -198,6 +198,57 @@ def test_batch_tail_matches_column_form(spark):
         assert abs(got[k] - cost) <= max(1e-6, 1e-6 * abs(cost)), (k, got[k], cost)
 
 
+def test_hierarchy_cooccurrence_conflict_rule(spark):
+    """The deterministic max-conflict rule, in both resolution paths:
+    when a child value co-occurs with several parent values inside one
+    window, the MAX parent wins — in hierarchy_cooccurrence (batch
+    pairs) and in long_form_window_aggs(with_hierarchy=True) (the
+    streaming carry), identically; and the mapping is window-scoped."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.config import (
+        DimensionSpec,
+        EngineConfig,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        hierarchy_cooccurrence,
+    )
+
+    cfg = EngineConfig(
+        timestamp_field="ts",
+        value_field="value",
+        dimensions=[
+            DimensionSpec("parent_dim", group="g"),
+            DimensionSpec("child_dim", group="g", parent="parent_dim"),
+        ],
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # window 0: child c1 co-occurs with parents pa and pz -> pz wins
+        (base + pd.Timedelta(seconds=10), 1.0, "c1", "pa"),
+        (base + pd.Timedelta(seconds=20), 1.0, "c1", "pz"),
+        # window 0: child c2 with a single parent
+        (base + pd.Timedelta(seconds=30), 1.0, "c2", "pm"),
+        # next window (tumbling 300s): c1 now maps to pb ONLY there
+        (base + pd.Timedelta(seconds=310), 1.0, "c1", "pb"),
+    ]
+    records = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "value", "child_dim", "parent_dim"])
+    )
+    pairs = {
+        (int(r.window_start.timestamp()) % 3600, r.dim_value): r.parent_value
+        for r in hierarchy_cooccurrence(records, cfg, 300, None).collect()
+    }
+    assert pairs == {(0, "c1"): "pz", (0, "c2"): "pm", (300, "c1"): "pb"}
+
+    aggs = long_form_window_aggs(records, cfg, 300, None, with_hierarchy=True)
+    carried = {
+        (r.window_start_epoch % 3600, r.dim_value): r.parent_value
+        for r in aggs.filter(F.col("dim_name") == "child_dim").collect()
+    }
+    assert carried == pairs
+
+
 def test_batch_tail_cooc_matches_column_form(spark):
     """Data-dependent hierarchy parity (VERDICT r2 #2): the tail with
     hierarchy_from_data=True (parent values carried on the aggregate
