@@ -50,22 +50,44 @@ def contribution_change_percentage(
     return math.nan
 
 
+# Java Math.round saturation on ±Infinity: Long.MaxValue/1e4 and
+# Long.MinValue/1e4 — the FINITE ctoc the reference emits when
+# current_total == baseline_total (both nonzero) divides by zero.
+CTOC_SATURATION_POS = 9223372036854775807 / 1e4
+CTOC_SATURATION_NEG = -9223372036854775808 / 1e4
+
+
 def contribution_to_overall_change_percentage(
-    baseline: float, current: float, baseline_total: float, current_total: float
+    baseline: float,
+    current: float,
+    baseline_total: float,
+    current_total: float,
+    strict_parity: bool = False,
 ) -> float:
-    # DELIBERATE DEVIATION (ADVICE r2): when current_total ==
-    # baseline_total (and both nonzero) the reference divides by zero
-    # giving ±Infinity, and its roundUp (Math.round of ±Inf) collapses
-    # to Long.MaxValue/10000 — a huge FINITE ctoc, so the reference
-    # EMITS that summary with a dominating cost. That output is
-    # degenerate garbage (an artifact of Math.round saturation), so
-    # this port returns NaN instead and the row is dropped by the
-    # cost > 0 filter, matching the engine's NULL policy
+    # DEFAULT behavior is a DELIBERATE DEVIATION (ADVICE r2, kept
+    # visible via COVERAGE.md): when current_total == baseline_total
+    # (both nonzero) the reference divides by zero giving ±Infinity,
+    # and its roundUp (Math.round of ±Inf) collapses to
+    # Long.MaxValue/10000 — a huge FINITE ctoc, so the reference EMITS
+    # that summary with a dominating cost. That output is degenerate
+    # garbage (an artifact of Math.round saturation), so by default
+    # this port returns NaN and the row is dropped by the cost > 0
+    # filter, matching the engine's NULL policy
     # (operators/contributors.py stats_cols).
+    #
+    # strict_parity=True replicates the reference bit-for-bit instead
+    # (ADVICE r3): ±Inf -> the Long.Max/Min saturation constants, and
+    # 0/0 -> Math.round(NaN) == 0 -> 0.0 ctoc (then cost 0, dropped).
     if baseline_total != 0.0 and current_total != baseline_total:
         return _jround4(
             (current - baseline) / abs(current_total - baseline_total) * 100.0
         )
+    if strict_parity and baseline_total != 0.0:
+        if current > baseline:
+            return CTOC_SATURATION_POS
+        if current < baseline:
+            return CTOC_SATURATION_NEG
+        return 0.0
     return math.nan
 
 

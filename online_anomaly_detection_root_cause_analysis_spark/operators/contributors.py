@@ -49,7 +49,11 @@ def _jround(col: Column) -> Column:
 
 
 def stats_cols(
-    dim_current: Column, dim_baseline: Column, current_total: Column, baseline_total: Column
+    dim_current: Column,
+    dim_baseline: Column,
+    current_total: Column,
+    baseline_total: Column,
+    strict_parity: bool = False,
 ) -> dict[str, Column]:
     vcp = F.when(
         dim_baseline != 0.0,
@@ -69,6 +73,20 @@ def stats_cols(
             * 100.0
         ),
     )
+    if strict_parity:
+        # Replicate the reference's Math.round(±Inf) saturation on
+        # equal-totals windows instead of dropping the row (NULL/NaN):
+        # Long.Max/Min / 1e4, and 0/0 -> round(NaN) == 0 (ADVICE r3;
+        # algorithms/stats.py CTOC_SATURATION_*). Default path keeps the
+        # documented NULL-drop deviation, which the DuckDB oracle gates.
+        from ..algorithms.stats import CTOC_SATURATION_NEG, CTOC_SATURATION_POS
+
+        ctoc = F.when(
+            (baseline_total != 0.0) & (current_total == baseline_total),
+            F.when(dim_current > dim_baseline, F.lit(CTOC_SATURATION_POS))
+            .when(dim_current < dim_baseline, F.lit(CTOC_SATURATION_NEG))
+            .otherwise(F.lit(0.0)),
+        ).otherwise(ctoc)
     return {
         "value_change_pct": vcp,
         "contribution_change_pct": ccp,

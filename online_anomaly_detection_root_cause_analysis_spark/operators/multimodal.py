@@ -60,6 +60,13 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
         while i + 9 <= n:
             if payload[i] != 0xFF:
                 return None  # not at a marker: corrupt stream
+            # JPEG allows runs of 0xFF fill/padding bytes before a marker
+            # (ITU T.81 §B.1.1.2) — skip them so the marker byte is the
+            # first non-0xFF, not a misread of the padding (ADVICE r3).
+            while i + 9 <= n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > n:
+                return None
             marker = payload[i + 1]
             if marker in _JPEG_SOF:
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
@@ -71,6 +78,25 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
             i += 2 + seg_len
         return None
     return None
+
+
+MAX_DECODE_PIXELS = 1 << 26  # 64M-pixel per-image sanity cap
+
+
+def _safe_dims(payload: bytes) -> tuple[int, int] | None:
+    """Header dims validated BEFORE any allocation is sized by them: a
+    corrupt header declaring w<=0/h<=0 (div-by-zero / bad reshape) or an
+    implausible pixel count (e.g. 2^31 x 2^31 claimed by a 29-byte file
+    -> unbounded np.resize) is rejected, and callers fall back to the
+    fake-decode dims exactly like an unrecognized magic — one corrupt
+    file must not kill the whole Spark stage (ADVICE r3 medium)."""
+    parsed = parse_image_header(payload)
+    if parsed is None:
+        return None
+    w, h = parsed
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        return None
+    return parsed
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
@@ -100,7 +126,7 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     for p in payloads:
         b = bytes(p)
         width, height, mean = _fake_decode(b)
-        parsed = parse_image_header(b)
+        parsed = _safe_dims(b)
         if parsed is not None:
             width, height = parsed
         rows.append((width, height, mean))
@@ -173,7 +199,7 @@ def resize_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                parsed = parse_image_header(b)
+                parsed = _safe_dims(b)
                 if parsed is not None:
                     w, h = parsed
                 else:

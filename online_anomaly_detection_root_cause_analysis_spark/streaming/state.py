@@ -418,7 +418,16 @@ def rows_to_windows(
             else:
                 dim = Dimension(names[i], values[i], groups[i], int(levels[i]))
                 breakdown[dim] = float(sums[i])
-                if has_hier and isinstance(pnames[i], str) and pnames[i]:
+                if (
+                    has_hier
+                    and isinstance(pnames[i], str)
+                    and pnames[i]
+                    and isinstance(pvalues[i], str)
+                ):
+                    # both name AND value must be real strings: an all-NULL
+                    # parent column would otherwise put NaN inside a
+                    # Dimension key; NULL-parent rows fall through to the
+                    # explicit ratio-1 rule instead (ADVICE r3).
                     hierarchy[dim] = Dimension(
                         pnames[i], pvalues[i], dim.group, dim.level - 1
                     )

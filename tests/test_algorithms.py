@@ -304,3 +304,104 @@ class TestEWMAZScore:
 
         d = EWMAZScore()
         assert not any(d.update(5.0)[0] for _ in range(100))
+
+
+class TestCtocSaturationParity:
+    """ADVICE r3: strict_parity=True replicates the reference's
+    Math.round(±Inf) -> Long.Max/Min saturation on equal-totals
+    windows; the default keeps the documented NULL/NaN-drop deviation."""
+
+    def test_scalar_paths(self):
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.stats import (
+            CTOC_SATURATION_NEG,
+            CTOC_SATURATION_POS,
+            contribution_to_overall_change_percentage as ctoc,
+        )
+
+        # normal path unchanged either way
+        assert ctoc(10.0, 20.0, 100.0, 150.0) == ctoc(
+            10.0, 20.0, 100.0, 150.0, strict_parity=True
+        )
+        # equal totals: default drops (NaN), strict saturates like Java
+        assert math.isnan(ctoc(10.0, 20.0, 100.0, 100.0))
+        assert ctoc(10.0, 20.0, 100.0, 100.0, strict_parity=True) == CTOC_SATURATION_POS
+        assert ctoc(20.0, 10.0, 100.0, 100.0, strict_parity=True) == CTOC_SATURATION_NEG
+        # 0/0 -> Java Math.round(NaN) == 0 -> ctoc 0.0 (cost 0, dropped)
+        assert ctoc(10.0, 10.0, 100.0, 100.0, strict_parity=True) == 0.0
+        # zero baseline_total stays NaN in both modes
+        assert math.isnan(ctoc(1.0, 2.0, 0.0, 100.0, strict_parity=True))
+        assert CTOC_SATURATION_POS == 9223372036854775807 / 1e4
+
+    def test_null_parent_value_excluded_from_hierarchy(self):
+        """ADVICE r3: a window whose parent_value is entirely NULL/NaN
+        must NOT produce a Dimension key holding a non-string — the
+        entry is skipped and the finder's ratio-1 fallback applies."""
+        import numpy as np
+        import pandas as pd
+
+        from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+            rows_to_windows,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "window_start_epoch": [0, 0, 0],
+                "dim_name": ["__total__", "page", "page"],
+                "dim_value": ["__total__", "/a", "/b"],
+                "dim_group": ["g", "g", "g"],
+                "dim_level": [0, 1, 1],
+                "dim_sum": [30.0, 10.0, 20.0],
+                "dim_count": [3, 1, 2],
+                "parent_name": [None, "host", "host"],
+                "parent_value": [None, np.nan, None],
+            }
+        )
+        from online_anomaly_detection_root_cause_analysis_spark.streaming.state import TOTAL_DIM
+
+        pdf.loc[0, "dim_name"] = TOTAL_DIM
+        pdf.loc[0, "dim_value"] = TOTAL_DIM
+        windows = list(rows_to_windows(pdf))
+        assert len(windows) == 1
+        _, current, _, breakdown, hierarchy = windows[0]
+        assert current == 30.0
+        assert len(breakdown) == 2
+        assert hierarchy == {}  # NaN parent_value never becomes a key
+        for dim in breakdown:
+            assert isinstance(dim.value, str)
+
+    def test_stats_cols_column_path_matches_scalar(self, spark):
+        """The Spark column implementation of the strict-parity ctoc
+        saturation agrees with the scalar reference replay on every
+        branch (pos/neg/0-0 saturation, normal path, NULL path)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.stats import (
+            contribution_to_overall_change_percentage as ctoc_scalar,
+        )
+        from online_anomaly_detection_root_cause_analysis_spark.operators.contributors import (
+            stats_cols,
+        )
+
+        cases = [
+            (10.0, 20.0, 150.0, 100.0),  # normal
+            (20.0, 10.0, 100.0, 100.0),  # equal totals, current > baseline
+            (10.0, 20.0, 100.0, 100.0),  # equal totals, current < baseline
+            (10.0, 10.0, 100.0, 100.0),  # equal totals, equal values
+            (1.0, 2.0, 100.0, 0.0),      # zero baseline_total
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(cases, columns=["cur", "base", "ct", "bt"])
+        )
+        out = df.select(
+            stats_cols(
+                F.col("cur"), F.col("base"), F.col("ct"), F.col("bt"),
+                strict_parity=True,
+            )["contribution_to_overall_change_pct"].alias("ctoc")
+        ).collect()
+        for row, (cur, base, ct, bt) in zip(out, cases):
+            want = ctoc_scalar(base, cur, bt, ct, strict_parity=True)
+            if math.isnan(want):
+                assert row.ctoc is None
+            else:
+                assert row.ctoc == want

@@ -330,3 +330,112 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_n=10)
     assert plan.filter(F.col("frame_idx") % 10 != 0).count() == 0
     assert plan.count() > 0
+
+
+def test_corrupt_image_headers_fall_back():
+    """ADVICE r4 (medium): a header declaring w=0/h=0 or absurd dims
+    (2^31 x 2^31 in a 29-byte payload) must not crash the stage or
+    drive an unbounded allocation — _safe_dims rejects it and both
+    decode and resize fall back to the fake-decode path, exactly like
+    an unrecognized magic."""
+    import struct
+
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+        _fake_decode,
+        _safe_dims,
+        decode_image_batch,
+        parse_image_header,
+    )
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"body"
+        )
+
+    zero = png(0, 0)
+    zero_w = png(0, 480)
+    huge = png(2**31 - 1, 2**31 - 1)
+    gif_zero = b"GIF89a" + struct.pack("<HH", 0, 200) + b"\xf7\x00\x00tail"
+    ok = png(640, 480)
+
+    # raw parser still reports what the header SAYS...
+    assert parse_image_header(zero) == (0, 0)
+    assert parse_image_header(huge) == (2**31 - 1, 2**31 - 1)
+    # ...but the validated entry point rejects it
+    assert _safe_dims(zero) is None
+    assert _safe_dims(zero_w) is None
+    assert _safe_dims(huge) is None
+    assert _safe_dims(gif_zero) is None
+    assert _safe_dims(ok) == (640, 480)
+
+    out = decode_image_batch(pd.Series([zero, huge, gif_zero, ok]), fake=True)
+    for i, payload in enumerate([zero, huge, gif_zero]):
+        fw, fh, _ = _fake_decode(payload)
+        assert (out.width[i], out.height[i]) == (fw, fh)
+    assert (out.width[3], out.height[3]) == (640, 480)
+
+
+def test_corrupt_headers_resize_does_not_crash(spark):
+    """The resize stage over the same corrupt payloads completes and
+    emits sane (fake-dim) output — one bad file must not kill the
+    whole Spark stage."""
+    import struct
+
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"body" * 8
+        )
+
+    rows = [
+        (1, "image", png(0, 0), "image/png", None, None),
+        (2, "image", png(2**31 - 1, 2**31 - 1), "image/png", None, None),
+        (3, "image", png(64, 32), "image/png", None, None),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "media_id", "kind", "payload", "mime", "source_url", "captured_ts",
+        ]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, max_dim=16).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r.width >= 1 and r.height >= 1
+        assert 1 <= r.out_width <= 16 and 1 <= r.out_height <= 16
+        assert len(r.pixels) == r.out_width * r.out_height
+    assert (out[3].width, out[3].height) == (64, 32)  # valid header kept
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ADVICE r4: JPEG permits runs of 0xFF fill bytes before a marker
+    (ITU T.81 B.1.1.2) — the scanner must skip them, not read a
+    'length' out of the padding and miss the SOF."""
+    import struct
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    jpeg_padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"                      # fill bytes before APP0
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xff"                           # fill bytes before SOF0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640)          # height, width
+        + b"\x03" + b"\x00" * 9
+    )
+    assert parse_image_header(jpeg_padded) == (640, 480)
+    # all-padding tail still returns None instead of looping/garbage
+    assert parse_image_header(b"\xff\xd8" + b"\xff" * 64) is None
