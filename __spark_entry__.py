@@ -923,6 +923,237 @@ FROM emit, th
 """
 
 
+# MacroBase SUMMARIZER at a decay-free, single-attribute operating
+# point (round 4 — closes the last `no_oracle` gap): with ONE
+# configured attribute the summarizer's FP-growth machinery is
+# provably inert (attribute_dimension == 1 short-circuits both
+# _update_models and the pattern-tree inserts/reads,
+# ExponentiallyDecayingEmergingItemsets.scala:223/260/330), so
+# get_itemsets() == the single-item path only. With decay_rate 0 and
+# summary sizes >= the distinct-value count, the AMC heavy-hitter
+# sketches degenerate to EXACT presence counters (no eviction, no
+# decay), making every emitted row a closed-form function of
+# (which event_type values appear in each window) x (the detector's
+# per-window outlier flag) — and that flag is the already-hash-gated
+# decay-free MacroBase detector of q_macrobase_alerts. The DuckDB
+# oracle replays ALL of it: the MAD/percentile detector CTE chain,
+# then cumulative presence counts at each emission point and the
+# RiskRatio.scala:17-83 corrected-risk-ratio formula verbatim
+# (including the 0-unexposed-inlier NaN drop and the +inf -> NULL
+# emission). min_support = 0.125 is an exact binary fraction so the
+# support boundary is bit-stable across engines.
+_MBS_GEN_PERIOD = 24       # emit every 25 tuples (first emission > warmup)
+_MBS_MIN_SUPPORT = 0.125   # exact in binary: support cut bit-identical
+_MBS_WINDOW_S = 1800
+# percentile 0.5 (threshold = median of the first 3 scores, not the
+# max) so every SF yields a healthy outlier/inlier mix and the risk
+# ratios exercise both count sketches — 0.9 leaves sf0.001 with zero
+# outlier windows and an empty (degenerate) gate
+_MBS_PERCENTILE = 0.5
+
+
+def events_config_single() -> EngineConfig:
+    """events config restricted to the event_type dimension — makes
+    attribute_dimension == 1 for the summarizer gate."""
+    return EngineConfig(
+        timestamp_field="ts",
+        value_field="value",
+        dimensions=[DimensionSpec("event_type", group="type")],
+    )
+
+
+def q_macrobase_summaries_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MacroBase chain (EWFeature scorer -> percentile classifier
+    -> ExponentiallyDecayingEmergingItemsets summarizer) through the
+    REAL StreamingTail path, at the operating point where the
+    summarizer's single-item emission is exactly SQL-replayable (see
+    block comment above). Complements `macrobase_summaries` (full
+    FP-growth config, rows-only) with a value-hash gate over the
+    itemset counting + risk-ratio + support-threshold machinery."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
+        SummarizerSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+        build_typed_records,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    cfg = events_config_single()
+    records = build_typed_records(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), cfg
+    )
+    aggs = _q6_aggs(long_form_window_aggs(records, cfg, _MBS_WINDOW_S, None))
+    tail = TailConfig(
+        mode="macrobase",
+        rca_mode="macrobase",
+        detector_spec=EWFeatureSpec(
+            warmup_count=_MB_WARMUP,
+            sample_size=1_000_000,
+            decay_period=1_000_000_000,
+            decay_rate=0.0,
+            training_period=_MB_TRAINING_PERIOD,
+            percentile=_MBS_PERCENTILE,
+        ),
+        summarizer_spec=SummarizerSpec(
+            summary_update_period=100,       # decay 0 -> _mark_period no-op
+            decay_rate=0.0,
+            outlier_item_summary_size=1000,  # >= distinct event_type values
+            inlier_item_summary_size=1000,
+            min_oi_ratio=0.0,
+            min_support=_MBS_MIN_SUPPORT,
+            attributes=["event_type"],
+            attribute_combinations=True,     # dimension 1 -> singles only
+            summary_generation_period=_MBS_GEN_PERIOD,
+        ),
+    )
+    out = make_batch_tail(aggs, tail)
+    return out.filter(F.col("row_type") == "rca").select(
+        "seq",
+        "window_start_epoch",
+        "dim_name",
+        "dim_value",
+        _r4("support").alias("support"),
+        "num_records",
+        _r4("ratio_to_inliers").alias("ratio_to_inliers"),
+    )
+
+
+def _macrobase_summaries_single_oracle_sql(
+    warmup: int = _MB_WARMUP,
+    percentile: float = _MBS_PERCENTILE,
+    gen_period: int = _MBS_GEN_PERIOD,
+    min_support: float = _MBS_MIN_SUPPORT,
+) -> str:
+    """DuckDB replay of q_macrobase_summaries_single. Layers on top of
+    the macrobase_alerts detector chain (same tot/ti/k/train/.../sc/th
+    CTEs): per-window outlier flags (warm-up flush quirk: t <= warmup
+    all flagged by window `warmup`'s score), then for each emission
+    tuple T (T % (gen_period+1) == 0, snapshot BEFORE marking T, so
+    counts cover windows 1..T-1) the exact AMC presence counts and the
+    corrected risk ratio of RiskRatio.scala:17-83 — edge order kept:
+    te==0/oc==0/tme==0 -> 0, uo==0 -> +inf (emitted, NULL ratio
+    column), ui==0 -> NaN correction (row fails `> min_ratio`,
+    dropped; modeled as NULL here, same surviving set)."""
+    w1 = warmup - 1
+    thr_idx1 = int(percentile * w1) + 1
+    period = gen_period + 1
+    med = (
+        "CASE WHEN {n} % 2 = 0 THEN ({L}[{n}//2] + {L}[{n}//2 + 1])/2.0 "
+        "ELSE {L}[{n}//2 + 1] END"
+    )
+    med_v = med.format(L="sl", n="n")
+    med_r = med.format(L="res", n="n")
+    return f"""
+WITH tot AS (
+  SELECT CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
+         floor(sum(value)*1000000 + 0.5)/1000000 AS v
+  FROM events GROUP BY 1
+),
+ti AS (
+  SELECT ws, v, row_number() OVER (ORDER BY ws) AS idx FROM tot
+),
+k AS (
+  SELECT idx AS t,
+         greatest({w1}, CASE WHEN idx % 2 = 0 THEN idx - 1 ELSE idx - 2 END) AS kk
+  FROM ti
+),
+train AS (
+  SELECT k.t, list(b.v ORDER BY b.idx) AS l
+  FROM k JOIN ti b ON b.idx <= k.kk
+  GROUP BY k.t
+),
+srt AS (SELECT t, list_sort(l) AS sl, len(l) AS n FROM train),
+meds AS (SELECT t, n, sl, {med_v} AS med FROM srt),
+resid AS (
+  SELECT t, n, med,
+         list_sort(list_transform(sl, x -> abs(x - med))) AS res
+  FROM meds
+),
+mads AS (
+  SELECT t, med,
+    CASE WHEN ({med_r}) = 0
+         THEN list_sum(res[CAST(floor(n*0.05) AS INT) + 1 : CAST(floor(n*0.95) AS INT)])
+              / (CAST(floor(n*0.95) AS INT) - CAST(floor(n*0.05) AS INT))
+         ELSE ({med_r})
+    END AS mad
+  FROM resid
+),
+sc AS (
+  SELECT ti.idx AS t, ti.ws, abs(ti.v - m.med)/m.mad AS s
+  FROM ti JOIN mads m ON m.t = ti.idx
+),
+th AS (
+  SELECT list_sort(list(s ORDER BY t))[{thr_idx1}] AS thr
+  FROM sc WHERE t <= {w1}
+),
+flags AS (
+  -- warm-up flush: windows 1..warmup are all classified against
+  -- window `warmup`'s score; steady state against their own
+  SELECT sc.t,
+         CASE WHEN sc.t <= {warmup}
+              THEN (SELECT s FROM sc WHERE t = {warmup}) > th.thr
+              ELSE sc.s > th.thr END AS flag
+  FROM sc, th
+),
+obs AS (
+  -- one AMC observation per (window, event_type value present)
+  SELECT ti.idx AS t, e.event_type AS val
+  FROM (SELECT DISTINCT
+          CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
+          event_type
+        FROM events) e
+  JOIN ti ON ti.ws = e.ws
+),
+emits AS (SELECT idx AS T, ws FROM ti WHERE idx % {period} = 0),
+cnt AS (
+  SELECT em.T, em.ws, o.val,
+         CAST(sum(CASE WHEN f.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
+         CAST(sum(CASE WHEN f.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
+  FROM emits em
+  JOIN obs o ON o.t < em.T
+  JOIN flags f ON f.t = o.t
+  GROUP BY em.T, em.ws, o.val
+),
+tots AS (SELECT T, sum(oc) AS tout, sum(ic) AS tin FROM cnt GROUP BY T),
+rr AS (
+  SELECT c.T, c.ws, c.val, c.oc, c.ic, t.tout, t.tin,
+         c.ic + c.oc AS te,
+         t.tin + t.tout - (c.ic + c.oc) AS tme,
+         t.tout - c.oc AS uo,
+         t.tin - c.ic AS ui
+  FROM cnt c JOIN tots t ON t.T = c.T
+  WHERE c.oc >= t.tout * {min_support}
+),
+scored AS (
+  SELECT T, ws, val, oc, tout,
+    CASE
+      WHEN te = 0 OR oc = 0 OR tme = 0 THEN 0.0
+      WHEN uo = 0 THEN CAST('inf' AS DOUBLE)
+      ELSE (oc/te)/(uo/tme)
+           - 2.0*sqrt((ic/oc)/te + (CASE WHEN ui = 0 THEN NULL ELSE 1.0 END)/tme)
+    END AS cr
+  FROM rr
+)
+SELECT T AS seq, ws AS window_start_epoch,
+       'event_type' AS dim_name, val AS dim_value,
+       floor(oc/tout*10000 + 0.5)/10000 AS support,
+       oc AS num_records,
+       CASE WHEN isinf(cr) THEN NULL
+            ELSE floor(cr*10000 + 0.5)/10000 END AS ratio_to_inliers
+FROM scored
+WHERE cr > 0.0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_simple_contributors(spark, "/root/testdata/sf0.001")
@@ -944,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_alerts_by_key": q_zscore_alerts_by_key,
         "macrobase_alerts": q_macrobase_alerts,
         "macrobase_summaries": q_macrobase_summaries,
+        "macrobase_summaries_single": q_macrobase_summaries_single,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
@@ -1569,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_alerts": _zscore_oracle_sql(),
         "zscore_alerts_by_key": _zscore_by_key_oracle_sql(),
         "macrobase_alerts": _macrobase_alerts_oracle_sql(),
+        "macrobase_summaries_single": _macrobase_summaries_single_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # near_duplicates (LSH candidates -> exact verify) must find
