@@ -50,13 +50,16 @@ from online_anomaly_detection_root_cause_analysis_spark.operators.textstats impo
 from online_anomaly_detection_root_cause_analysis_spark.operators.baseline import (
     breakdown_with_baseline,
     with_offset_baseline,
+    with_offset_baseline_old,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.contributors import (
     simple_contributors,
+    summary_report,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
     dimension_breakdown,
     session_window_agg,
+    simple_window_records,
     sliding_window_totals,
     tumbling_window_totals,
 )
@@ -199,6 +202,49 @@ def q_simple_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contribution_change_pct",
         "contribution_to_overall_change_pct",
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_offset_baseline_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 OffsetBaselineAggregatorOld (deprecated in the reference;
+    rebuilt r4 for inventory completeness): current anchored on the
+    FIRST window of each sliding count buffer, baseline = mean of the
+    rest (forward-looking)."""
+    totals = sliding_window_totals(_events(spark, sf_dir), SIZE_S, SLIDE_S)
+    wb = with_offset_baseline_old(totals, BASELINE_N)
+    return wb.select(
+        _epoch().alias("window_start_epoch"),
+        F.col("window_idx").cast("long").alias("window_idx"),
+        _r4("current_old").alias("current_old"),
+        _r4("baseline").alias("baseline"),
+        "records_in_baseline_offset",
+    )
+
+
+def q_window_sum_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 SumAggregatorSimple (deprecated in the reference; rebuilt
+    r4): tumbling sum + first-record epoch + lineage count (the raw
+    carried-records array stays behind carry_records=True — an
+    anti-scale pattern, see operator docstring)."""
+    s = simple_window_records(_events(spark, sf_dir), SIZE_S)
+    return s.select(
+        _epoch().alias("window_start_epoch"),
+        _r4("current").alias("current"),
+        "start_timestamp",
+        "n_records",
+    )
+
+
+def q_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 SummaryReport (empty stub in the reference pointing at
+    ThirdEye's cube SummaryResponse; rebuilt r4): per-anomaly rollup of
+    the ranked simple-contributor rows into one report row."""
+    return summary_report(q_simple_contributors(spark, sf_dir)).select(
+        "window_start_epoch",
+        "n_contributors",
+        "report",
+        _r4("total_cost").alias("total_cost"),
+        _r4("max_cost").alias("max_cost"),
     )
 
 
@@ -1164,6 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_sum": q_tumbling_window_sum,
         "sliding_window_sum": q_sliding_window_sum,
         "offset_baseline": q_offset_baseline,
+        "offset_baseline_old": q_offset_baseline_old,
+        "window_sum_simple": q_window_sum_simple,
+        "summary_report": q_summary_report,
         "threshold_alerts": q_threshold_alerts,
         "dimension_breakdown": q_dimension_breakdown,
         "dimension_breakdown_salted": q_dimension_breakdown_salted,
@@ -1783,6 +1832,38 @@ def oracle_sql() -> dict[str, str]:
                    floor(current*10000 + 0.5)/10000 AS current, floor(baseline*10000 + 0.5)/10000 AS baseline,
                    rbo AS records_in_baseline_offset
             FROM ({_WB})
+        """,
+        "offset_baseline_old": f"""
+            SELECT ws AS window_start_epoch, window_idx,
+                   floor(fv*10000 + 0.5)/10000 AS current_old,
+                   floor(bl*10000 + 0.5)/10000 AS baseline,
+                   rbo AS records_in_baseline_offset
+            FROM (
+              SELECT ws, row_number() OVER (ORDER BY ws) AS window_idx,
+                     first_value(current) OVER fr AS fv,
+                     CASE WHEN count(current) OVER fr > 1
+                          THEN (sum(current) OVER fr - first_value(current) OVER fr)
+                               / (count(current) OVER fr - 1) END AS bl,
+                     CAST(count(current) OVER fr - 1 AS INT) AS rbo
+              FROM ({_TOT})
+              WINDOW fr AS (ORDER BY ws ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+            )
+        """,
+        "window_sum_simple": """
+            SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start_epoch,
+                   floor(sum(value)*10000 + 0.5)/10000 AS current,
+                   min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_timestamp,
+                   count(*) AS n_records
+            FROM events GROUP BY 1
+        """,
+        "summary_report": f"""
+            SELECT window_start_epoch,
+                   count(*) AS n_contributors,
+                   string_agg(dim_name || '=' || dim_value, ' > ' ORDER BY rank) AS report,
+                   floor(sum(cost)*10000 + 0.5)/10000 AS total_cost,
+                   floor(max(cost)*10000 + 0.5)/10000 AS max_cost
+            FROM ({_SIMPLE_CONTRIBUTORS_SQL})
+            GROUP BY 1
         """,
         "threshold_alerts": f"""
             WITH wb AS ({_WB}), stats AS (SELECT avg(current) AS avgc FROM ({_TOT}))

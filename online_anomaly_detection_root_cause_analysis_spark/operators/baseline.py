@@ -46,6 +46,44 @@ def with_offset_baseline(window_totals: DataFrame, n: int = 10) -> DataFrame:
     )
 
 
+def with_offset_baseline_old(window_totals: DataFrame, n: int = 10) -> DataFrame:
+    """Deprecated-reference parity: OffsetBaselineAggregatorOld.scala
+    :22-46 anchors `current` on the FIRST aggregate entering the count
+    window (the add() branch on an empty breakdown) and averages the
+    REMAINING n-1 as the baseline — i.e. the baseline looks FORWARD of
+    its current window; the non-deprecated A2 flips this (newest =
+    current, trailing mean = baseline), which is why the old one is
+    dead code in the reference. Rebuilt here so the inventory carries
+    no gaps: over each sliding count window [i-(n-1) .. i] the emitted
+    row is (current = first total in the buffer, baseline = mean of
+    the rest, records = buffer size - 1). The old merge() is unsound
+    (sums both currents) but unreachable at the reference's
+    parallelism-1 count window — not reproduced.
+
+    Same single ordering window as `with_offset_baseline`; one
+    pre-aggregated row per window flows through it."""
+    order = Window.orderBy("window_start")
+    frame = order.rowsBetween(-(n - 1), 0)
+    first_cur = F.first("current").over(frame)
+    cnt = F.count("current").over(frame)
+    return (
+        window_totals.withColumn("window_idx", F.row_number().over(order))
+        .withColumn("_first", first_cur)
+        .withColumn("_cnt", cnt)
+        .withColumn(
+            "baseline",
+            F.when(
+                F.col("_cnt") > 1,
+                (F.sum("current").over(frame) - F.col("_first"))
+                / (F.col("_cnt") - 1),
+            ),
+        )
+        .withColumn("records_in_baseline_offset", (F.col("_cnt") - 1).cast("int"))
+        .withColumn("current_old", F.col("_first"))
+        .drop("_first", "_cnt")
+    )
+
+
 def breakdown_with_baseline(
     breakdown: DataFrame, totals_with_idx: DataFrame, n: int = 10,
     targets: DataFrame | None = None,

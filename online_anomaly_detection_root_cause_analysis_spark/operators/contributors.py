@@ -94,6 +94,36 @@ def stats_cols(
     }
 
 
+def summary_report(contributors: DataFrame, key: str = "window_start_epoch") -> DataFrame:
+    """R6 SummaryReport (root_cause_analysis/SummaryReport.scala — an
+    empty class in the reference pointing at ThirdEye's cube
+    SummaryResponse): roll the ranked per-anomaly contributor rows up
+    into one human-readable report row per anomaly, the "present data
+    cube changes" shape the stub describes. Pure JVM column ops:
+    collect_list(struct(rank, label)) -> array_sort -> transform ->
+    concat_ws; numeric roll-ups stay numeric columns (floats are never
+    rendered into the string, so the DuckDB oracle compares exactly).
+
+    One groupBy on the (tiny) contributor set — scale-free."""
+    labeled = contributors.withColumn(
+        "_label", F.concat_ws("=", F.col("dim_name"), F.col("dim_value"))
+    )
+    return labeled.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_contributors"),
+        F.concat_ws(
+            " > ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rank"), F.col("_label")))
+                ),
+                lambda x: x["_label"],
+            ),
+        ).alias("report"),
+        F.sum("cost").alias("total_cost"),
+        F.max("cost").alias("max_cost"),
+    )
+
+
 def _alert_breakdown(alerts: DataFrame, breakdown_wb: DataFrame) -> DataFrame:
     """Alerts joined back to their window's long-form breakdown rows —
     the explicit form of the reference's carried-along breakdown maps

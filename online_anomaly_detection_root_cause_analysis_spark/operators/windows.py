@@ -61,6 +61,46 @@ def sliding_window_totals(
     )
 
 
+def simple_window_records(
+    records: DataFrame,
+    size_s: int = 300,
+    ts: str = "ts",
+    value: str = "value",
+    carry_records: bool = False,
+) -> DataFrame:
+    """Deprecated-reference parity: SumAggregatorSimple.scala:7-29 —
+    windowed sum + the window's first-record epoch as start_timestamp
+    + the raw input records carried along (AggregatedRecordsSimple).
+    The add() path stamps start_timestamp from the first ARRIVING
+    record; its merge() takes the min, so under the reference's
+    ascending-timestamp source contract the deterministic meaning is
+    min(epoch) — used here (arrival order is not a well-defined notion
+    on a distributed shuffle).
+
+    carry_records=False (default) keeps only the aggregate + lineage
+    count: hauling every raw record through the agg is exactly why the
+    reference deprecated this operator, and at 100 TB a
+    collect_list of raw rows per window is an anti-scale pattern.
+    carry_records=True reproduces the full carried array (sorted by
+    epoch for determinism) for parity tests at small SF."""
+    w = _window_col(ts, size_s, None)
+    aggs = [
+        F.sum(value).alias("current"),
+        F.min(F.unix_timestamp(ts)).alias("start_timestamp"),
+        F.count(F.lit(1)).alias("n_records"),
+    ]
+    if carry_records:
+        aggs.append(
+            F.array_sort(
+                F.collect_list(F.struct(F.unix_timestamp(ts).alias("epoch"), F.col(value).alias("value")))
+            ).alias("input_records")
+        )
+    return records.groupBy(w.alias("w")).agg(*aggs).select(
+        F.col("w.start").alias("window_start"), *[c for c in
+        (["current", "start_timestamp", "n_records"] + (["input_records"] if carry_records else []))]
+    )
+
+
 def dimension_breakdown(
     records: DataFrame,
     cfg: EngineConfig,

@@ -130,3 +130,92 @@ def test_near_duplicates_candidates_not_force_broadcast(spark):
     plan = explain_str(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_deprecated_aggregator_ports(spark):
+    """A3/A4 deprecated-reference parity (rebuilt r4): the old offset
+    baseline anchors current on the FIRST window of the count buffer
+    and averages the REST (forward-looking); SumAggregatorSimple
+    carries min-epoch start_timestamp and (optionally) the raw
+    records, sorted for determinism."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.baseline import (
+        with_offset_baseline_old,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        simple_window_records,
+    )
+
+    totals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "window_start": pd.to_datetime(
+                    [1000, 1060, 1120, 1180], unit="s"
+                ),
+                "current": [10.0, 20.0, 40.0, 70.0],
+            }
+        )
+    )
+    rows = {
+        r.window_idx: r
+        for r in with_offset_baseline_old(totals, n=3).collect()
+    }
+    # buffer [10] -> current 10, no baseline
+    assert rows[1].current_old == 10.0 and rows[1].baseline is None
+    assert rows[1].records_in_baseline_offset == 0
+    # buffer [10,20] -> current 10, baseline 20
+    assert rows[2].current_old == 10.0 and rows[2].baseline == 20.0
+    # buffer [10,20,40] -> current 10, baseline 30
+    assert rows[3].current_old == 10.0 and rows[3].baseline == 30.0
+    # buffer slides: [20,40,70] -> current 20, baseline 55
+    assert rows[4].current_old == 20.0 and rows[4].baseline == 55.0
+    assert rows[4].records_in_baseline_offset == 2
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime([301, 310, 305, 601], unit="s"),
+                "value": [1.0, 2.0, 4.0, 8.0],
+            }
+        )
+    )
+    out = {
+        r.window_start.timestamp(): r
+        for r in simple_window_records(ev, size_s=300, carry_records=True).collect()
+    }
+    w1 = out[300.0]
+    assert w1.current == 7.0
+    assert w1.start_timestamp == 301  # min epoch, not arrival order
+    assert w1.n_records == 3
+    assert [(r.epoch, r.value) for r in w1.input_records] == [
+        (301, 1.0), (305, 4.0), (310, 2.0)
+    ]
+    assert out[600.0].n_records == 1 and out[600.0].current == 8.0
+
+
+def test_summary_report_rollup(spark):
+    """R6 SummaryReport rollup: rank-ordered report string, numeric
+    roll-ups stay numeric (no float rendering in the string)."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.contributors import (
+        summary_report,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "window_start_epoch": [1, 1, 1, 2],
+                "dim_name": ["a", "b", "c", "a"],
+                "dim_value": ["x", "y", "z", "q"],
+                "cost": [5.0, 3.0, 1.0, 2.0],
+                "rank": [1, 2, 3, 1],
+            }
+        )
+    )
+    out = {r.window_start_epoch: r for r in summary_report(df).collect()}
+    assert out[1].report == "a=x > b=y > c=z"
+    assert out[1].n_contributors == 3
+    assert out[1].total_cost == 9.0 and out[1].max_cost == 5.0
+    assert out[2].report == "a=q"
