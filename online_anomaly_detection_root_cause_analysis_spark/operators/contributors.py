@@ -140,10 +140,13 @@ def _alert_breakdown(alerts: DataFrame, breakdown_wb: DataFrame) -> DataFrame:
 
 
 def simple_contributors(
-    alerts: DataFrame, breakdown_wb: DataFrame, summary_size: int = 5
+    alerts: DataFrame, breakdown_wb: DataFrame, summary_size: int = 5,
+    strict_parity: bool = False,
 ) -> DataFrame:
     """R1-R3: per-anomaly dimension summaries ranked by the balanced
-    simple cost."""
+    simple cost. strict_parity=True switches the equal-totals ctoc to
+    the reference's Math.round(±Inf) saturation instead of the default
+    NULL-drop (see stats_cols / COVERAGE.md deviations)."""
     j = _alert_breakdown(alerts, breakdown_wb)
     # pre-round stat inputs to 6dp — the reference's float-stabilizing
     # rounding map (P6, EWStreamingSummarizerTest.scala:101-120); the
@@ -153,7 +156,7 @@ def simple_contributors(
     db = _jround6(F.coalesce(F.col("dim_baseline"), F.lit(0.0)))
     ct = _jround6(F.col("current_total"))
     bt = _jround6(F.col("baseline_total"))
-    st = stats_cols(dc, db, ct, bt)
+    st = stats_cols(dc, db, ct, bt, strict_parity=strict_parity)
     cost = F.when(F.abs(st["contribution_to_overall_change_pct"]) < 3.0, F.lit(0.0)).otherwise(
         F.abs(st["contribution_to_overall_change_pct"])
         + F.abs(st["contribution_change_pct"])
