@@ -64,25 +64,56 @@ def _repeat_note(scaling: dict) -> str:
     rn = scaling.get("same_day_repeat_note")
     if not rn:
         return ""
-    e = rn["earlier_run"]
-    m = e["phase_a_median_wall_sec"]
-    b = e["phase_a_best_wall_sec"]
+    runs = [
+        (label, rn[key])
+        for label, key in (
+            ("2026-08-16 first", "earlier_run"),
+            ("2026-08-16 second (r3 primary)", "r3_primary_run"),
+        )
+        if key in rn
+    ]
+    rows = []
+    for label, e in runs:
+        m = e["phase_a_median_wall_sec"]
+        b = e["phase_a_best_wall_sec"]
+        rows.append(
+            f"| {label} | "
+            f"{m['local4']:.1f}/{m['local16']:.1f}/{m['local32']:.1f} "
+            f"(best {b['local4']:.1f}/{b['local16']:.1f}/{b['local32']:.1f}) | "
+            f"{e['speedup_4_to_16']:.2f} / {e['speedup_4_to_16_burst']:.2f} | "
+            f"{e['stream_local32_windows_per_sec']}/{e['stream_local8_windows_per_sec']} | "
+            f"{e['mft8_p95_commit_latency_sec']:.1f} / "
+            f"{e['mft1_p95_commit_latency_sec']:.1f} |"
+        )
+    ba = scaling.get("batch_aggregation", {})
+    st = scaling.get("streaming", {})
+    cur = ""
+    if ba and st:
+        cur = (
+            f"| current (tables above) | "
+            f"{ba['local4']['wall_sec']:.1f}/{ba['local16']['wall_sec']:.1f}/"
+            f"{ba['local32']['wall_sec']:.1f} "
+            f"(best {ba['local4']['wall_sec_min']:.1f}/"
+            f"{ba['local16']['wall_sec_min']:.1f}/"
+            f"{ba['local32']['wall_sec_min']:.1f}) | "
+            f"{ba['speedup_4_to_16']:.2f} / {ba['speedup_4_to_16_burst']:.2f} | "
+            f"{st['local32']['windows_per_sec']:.0f}/"
+            f"{st['local8']['windows_per_sec']:.0f} | "
+            f"{st['local32']['p95_commit_latency_sec']:.1f} / "
+            f"{st['local32_maxFilesPerTrigger1']['p95_commit_latency_sec']:.1f} |\n"
+        )
     return f"""
-**Same-day repeat spread (both runs recorded, neither cherry-picked):**
-the full bench ran twice hours apart and the host's co-tenancy level
-visibly differed. Earlier run: phase A medians
-{m['local4']:.1f}/{m['local16']:.1f}/{m['local32']:.1f} s (4/16/32
-cores; best {b['local4']:.1f}/{b['local16']:.1f}/{b['local32']:.1f}),
-4->16 speedup {e['speedup_4_to_16']:.2f} median /
-{e['speedup_4_to_16_burst']:.2f} best; streaming
-{e['stream_local32_windows_per_sec']}/{e['stream_local8_windows_per_sec']}
-windows/sec (local[32]/local[8]); p95 commit latency
-{e['mft8_p95_commit_latency_sec']:.1f} s (mft=8) /
-{e['mft1_p95_commit_latency_sec']:.1f} s (mft=1). The later run (the
-tables above/below) is uniformly ~25-35% slower including single-JVM
-phases — host load, not code change (the git diff between runs touches
-only docs/CLI flags). The spread itself is the strongest evidence for
-the measurement-protocol caveats below.
+**Repeat spread ({rn['what']}):**
+
+| run | phase A median wall s (4/16/32 cores) | 4->16 speedup median/best | stream w/s (32/8 cores) | p95 commit s (mft=8 / mft=1) |
+|---|---|---|---|---|
+{chr(10).join(rows)}
+{cur}
+Run-to-run spread is 25-35% including single-JVM phases — host
+co-tenancy, not code change. The 4->16 *best-case* (least-throttled)
+speedups are the closest this VM gets to unthrottled thread scaling;
+the spread itself is the strongest evidence for the
+measurement-protocol caveats below.
 """
 
 
