@@ -436,3 +436,88 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         assert want[k] == v, k
     # only sessions still open at end-of-stream may be missing
     assert len(got) >= len(want) * 0.8
+
+
+def test_lineage_metrics_listener(spark, tmp_path):
+    """north_rule "per-partition lineage + metrics": the
+    LineageMetricsListener appends one JSON line per micro-batch with
+    the source offset range that produced that commit (the lineage),
+    row counts/rates, watermark and state-store metrics. Drive a real
+    windowed-agg stream file-by-file and assert the JSONL carries a
+    complete, monotone offset chain."""
+    import json
+    import time
+
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.listener import (
+        LineageMetricsListener,
+    )
+
+    pdf = (
+        pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        .sort_values("ts").head(3000).reset_index(drop=True)
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_chunks(pdf, src, 4)
+
+    out = tmp_path / "metrics.jsonl"
+    listener = LineageMetricsListener(str(out))
+    spark.streams.addListener(listener)
+    try:
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "300 seconds"))
+            .agg(F.sum("value").alias("current"))
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("lineage_probe")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        # listener events are delivered async; give the bus a moment
+        for _ in range(50):
+            if out.exists() and "terminated" in out.read_text():
+                break
+            time.sleep(0.2)
+        spark.streams.removeListener(listener)
+
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    events = [r["event"] for r in recs]
+    assert "started" in events and "terminated" in events
+    progress = [r for r in recs if r["event"] == "progress" and r["num_input_rows"] > 0]
+    assert len(progress) >= 4  # one per input file at maxFilesPerTrigger=1
+    total_rows = sum(r["num_input_rows"] for r in progress)
+    assert total_rows == len(pdf)
+    # lineage: every batch records its source offset range, and the
+    # chain is gapless (end offset of batch k == start offset of k+1)
+    batches = sorted(progress, key=lambda r: r["batch_id"])
+    prev_end = None
+    for r in batches:
+        (s,) = r["sources"]
+        assert s["start_offset"] is not None or r is batches[0]
+        assert s["end_offset"] is not None
+        assert s["num_input_rows"] > 0
+        if prev_end is not None:
+            assert s["start_offset"] == prev_end
+        prev_end = s["end_offset"]
+    # metrics: watermark + state-store figures present on agg batches
+    assert any(r.get("watermark") for r in progress)
+    assert any(
+        so["num_rows_total"] > 0
+        for r in progress for so in r["state_operators"]
+    )
