@@ -219,3 +219,26 @@ def test_summary_report_rollup(spark):
     assert out[1].n_contributors == 3
     assert out[1].total_cost == 9.0 and out[1].max_cost == 5.0
     assert out[2].report == "a=q"
+
+
+def test_r4_queries_plan_shape(spark):
+    """Plan hygiene for the round-4 queries: the deprecated-aggregator
+    ports and the report rollup are pure JVM column plans (no Python
+    in any form); the old baseline runs ONE ordering window; the
+    summarizer gate's only Python is the single fused tail."""
+    for q in (e.q_offset_baseline_old, e.q_window_sum_simple, e.q_summary_report):
+        plan = explain_str(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "FlatMapGroupsInPandas" not in plan, q.__name__
+    old = explain_str(e.q_offset_baseline_old(spark, SF_DIR))
+    assert old.count("Window") >= 1
+    simple = explain_str(e.q_window_sum_simple(spark, SF_DIR))
+    assert simple.count("HashAggregate") >= 2  # partial + final
+
+    mbs = explain_str(e.q_macrobase_summaries_single(spark, SF_DIR))
+    # the fused tail is the ONLY Python crossing (formatted explain
+    # lists each node twice: tree + detail section)
+    assert "FlatMapGroupsInPandas" in mbs
+    assert mbs.count("FlatMapGroupsInPandas (") == 1
+    assert "BatchEvalPython" not in mbs and "ArrowEvalPython" not in mbs
