@@ -40,6 +40,7 @@ from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal imp
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
@@ -372,6 +373,33 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = lsh_topk(emb, _query_vectors(spark, sf_dir), k=10, bits=5, tables=16, multiprobe=5)
+    return out.select(
+        "query_id", "vec_id",
+        (F.floor(F.col("cosine") * 10000.0 + 0.5) / 10000.0).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (r4; the task's second scale path next to LSH) driven
+    at the EXHAUSTIVE-probe operating point (nprobe == n_centroids):
+    the union of all probed cells is the corpus iff the k-means cell
+    assignment PARTITIONS it — a vector dropped or double-assigned by
+    the quantizer/routing breaks the brute-force hash, so the oracle
+    gates the whole IVF machinery (deterministic sampled k-means
+    training, cell assignment, probe routing, candidate scoring,
+    ranking). It deliberately does NOT gate partial-probe recall: this
+    synthetic corpus is isotropic (uniform random vectors — true
+    neighbors spread across cells; measured recall 0.5/0.74 at
+    nprobe 4/8 of 16), so no non-degenerate probe count saturates
+    recall the way the planted-structure corpora do for LSH. The ANN
+    behavior — candidate-set reduction ~ nprobe/n_centroids and the
+    monotone recall knob — is gated in
+    tests/test_dedup_similarity.py::test_ivf_*."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(
+        emb, _query_vectors(spark, sf_dir), k=10, n_centroids=16, nprobe=16
+    )
     return out.select(
         "query_id", "vec_id",
         (F.floor(F.col("cosine") * 10000.0 + 0.5) / 10000.0).alias("cosine"),
@@ -1235,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "media_features": q_media_features,
     }
@@ -1897,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle
         "embedding_topk_lsh": _EMB_BRUTE_SQL,
+        "embedding_topk_ivf": _EMB_BRUTE_SQL,
         # LSH blocking must find exactly the corpus-wide exact pair set
         "embedding_near_duplicates": _EMB_NEAR_DUP_SQL,
         "media_features": _MEDIA_SQL,

@@ -219,3 +219,119 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 13,
+    iters: int = 10,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer for IVF — the
+    FAISS-style flow: train on a bounded sample, broadcast the (tiny)
+    centroid matrix. The sample is the first `sample` rows by
+    xxhash64(id, seed) order, so it is a seeded uniform draw that is
+    reproducible across runs/partitionings, and the driver-side
+    collect is bounded by `sample` x dim doubles (a few MB) at ANY
+    corpus size — this is the one place a collect() is the right tool.
+    Lloyd iterations run in numpy with argmax ties broken by index
+    (deterministic); empty cells keep their previous centroid.
+    Centroids are rounded to 9dp so the broadcast literal is stable."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.stack([r.v for r in rows]).astype(np.float64)
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                n = np.linalg.norm(s)
+                if n > 0:
+                    C[c] = s / n
+    return C.round(9).tolist()
+
+
+def _ivf_cell_udfs(centroids: list[list[float]], nprobe: int):
+    """(corpus_cell, query_probe_cells) pandas UDFs over one broadcast
+    centroid matrix: a single numpy matmul per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((X @ C).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        sims = X @ C
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return cell, probes
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+    iters: int = 10,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k — the second scale path next to lsh_topk (the
+    task's "IVF or LSH-bucketed variant"): a spherical-k-means coarse
+    quantizer assigns every corpus vector to one cell map-side (one
+    broadcast matmul UDF, no shuffle); each query probes its `nprobe`
+    nearest cells and scores ONLY those cells' vectors exactly.
+    Per-query work drops from O(N) to O(N * nprobe / n_centroids) in
+    expectation, with nprobe the recall knob (measured vs brute force
+    in tests, same discipline as lsh_topk).
+
+    At 100 TB the corpus is written partitioned BY cell (one-time
+    shuffle), so a probe is a partition-pruned scan and adding
+    executors shards cells evenly; the centroid matrix is a broadcast
+    of n_centroids x dim doubles. Pass `centroids` to reuse a trained
+    quantizer (the production topology trains once, offline)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        embeddings, n_centroids, seed, iters, sample, id_col, vec_col
+    )
+    cell_udf, probes_udf = _ivf_cell_udfs(cents, nprobe)
+    v = F.col(vec_col).cast("array<double>")
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), cell_udf(v).alias("cell")
+    )
+    qv = F.col("query_vec").cast("array<double>")
+    q = queries.select(
+        "query_id", qv.alias("qv"), F.explode(probes_udf(qv)).alias("cell")
+    )
+    scored = e.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id", cosine_udf(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -439,3 +439,102 @@ def test_jpeg_fill_bytes_before_marker():
     assert parse_image_header(jpeg_padded) == (640, 480)
     # all-padding tail still returns None instead of looping/garbage
     assert parse_image_header(b"\xff\xd8" + b"\xff" * 64) is None
+
+
+def test_ivf_topk_exhaustive_probe_equals_brute(spark):
+    """Driver-gate precondition (mirror of the LSH one): at
+    nprobe == n_centroids the probed cells cover the corpus iff cell
+    assignment partitions it — result must equal brute force
+    pair-for-pair."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, queries, k=10).collect()}
+    ann = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16).collect()
+    }
+    assert ann == brute
+
+
+def test_ivf_recall_knob_and_candidate_reduction(spark):
+    """The ANN half of the IVF gate: partial probing really prunes the
+    candidate set (~nprobe/n_centroids of the corpus is scored) and
+    recall rises monotonically with nprobe. Everything is seeded, so
+    the measured points are deterministic for this corpus."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        _ivf_cell_udfs,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, queries, k=10).collect()}
+
+    cents = train_ivf_centroids(emb, n_centroids=16)
+    n = emb.count()
+    n_q = queries.count()
+    # candidate-set size: corpus rows joined per (query, probed cell)
+    cell_udf, probes_udf = _ivf_cell_udfs(cents, 4)
+    e = emb.select("vec_id", cell_udf(F.col("embedding").cast("array<double>")).alias("cell"))
+    q = queries.select(
+        "query_id",
+        F.explode(probes_udf(F.col("query_vec").cast("array<double>"))).alias("cell"),
+    )
+    scored_rows = e.join(q, "cell").count()
+    frac = scored_rows / (n * n_q)
+    assert frac < 0.5, f"nprobe 4/16 must prune; scored fraction {frac:.2f}"
+
+    recalls = []
+    for nprobe in (2, 8, 16):
+        ann = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ivf_topk(
+                emb, queries, k=10, n_centroids=16, nprobe=nprobe, centroids=cents
+            ).collect()
+        }
+        recalls.append(len(ann & brute) / len(brute))
+    assert recalls[0] < recalls[-1]
+    assert recalls == sorted(recalls), f"recall must be monotone in nprobe: {recalls}"
+    assert recalls[-1] == 1.0
+
+
+def test_ivf_exact_duplicate_always_found(spark):
+    """Planted-structure property: an exact copy hashes to the SAME
+    cell as its original (identical vector, identical argmax), so the
+    cosine-1.0 duplicate of a query is found even at nprobe=1."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    corpus = entry_mod._emb_corpus(spark, SF_DIR)  # includes +1M exact copies
+    queries = corpus.filter(
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 1_000_000)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    got = ivf_topk(corpus, queries, k=2, n_centroids=16, nprobe=1).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid, ids in by_q.items():
+        assert qid + 1_000_000 in ids, f"exact copy of {qid} not found at nprobe=1"
+
+
+def test_ivf_centroids_deterministic(spark):
+    """Seeded sample + seeded init + index-tie argmax: two trainings
+    on the same corpus produce identical centroid matrices."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, n_centroids=8, seed=13)
+    c2 = train_ivf_centroids(emb.repartition(7), n_centroids=8, seed=13)
+    assert c1 == c2
