@@ -36,6 +36,7 @@ from online_anomaly_detection_root_cause_analysis_spark.functions.text import (
     LANG_MARKERS,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+    extract_audio_features,
     extract_media_features,
 )
 from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
@@ -513,6 +514,73 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.join(content, "media_id").select(
         "media_id", "n_bytes", "width", "height", "content_sha"
+    )
+
+
+def _le_bytes(col, n: int):
+    """Little-endian byte string of an integer column (n bytes) — for
+    synthesizing RIFF/WAVE headers in pure JVM expressions."""
+    return F.concat(
+        *[
+            F.unhex(
+                F.lpad(
+                    F.hex(
+                        F.shiftright(col.cast("long"), 8 * i).bitwiseAND(F.lit(255))
+                    ),
+                    2,
+                    "0",
+                )
+            )
+            for i in range(n)
+        ]
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing (r4) over SYNTHETIC WAV payloads —
+    the audio twin of media_features: each document becomes a byte-
+    valid RIFF/WAVE container (PCM fmt chunk with sample_rate/channels
+    derived from doc_id, the utf-8 text bytes as the data chunk)
+    assembled entirely in JVM expressions. The engine's features come
+    from the HEADER PARSER (operators/multimodal.py::parse_wav_header)
+    reading those bytes; the oracle recomputes every field from doc_id
+    and the text length independently. duration_ms is integer math
+    (frames*1000 // rate) so it replays exactly; payload sha is
+    replaced by the text content sha for the same DuckDB
+    VARCHAR-sha256 reason as media_features."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = (F.col("doc_id") % 8) * 1000 + 8000
+    ch = F.col("doc_id") % 2 + 1
+    block_align = ch * 2  # 16-bit PCM
+    data = F.encode("text", "utf-8")
+    dsize = F.octet_length(data)
+    wav_payload = F.concat(
+        F.unhex(F.lit("52494646")),            # 'RIFF'
+        _le_bytes(dsize + 36, 4),
+        F.unhex(F.lit("57415645666D7420")),    # 'WAVE' + 'fmt '
+        _le_bytes(F.lit(16), 4),               # fmt chunk size
+        _le_bytes(F.lit(1), 2),                # PCM
+        _le_bytes(ch, 2),
+        _le_bytes(rate, 4),
+        _le_bytes(rate * block_align, 4),      # byte rate
+        _le_bytes(block_align, 2),
+        _le_bytes(F.lit(16), 2),               # bits per sample
+        F.unhex(F.lit("64617461")),            # 'data'
+        _le_bytes(dsize, 4),
+        data,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wav_payload.alias("payload"),
+    )
+    feats = extract_audio_features(media)
+    content = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+    return feats.join(content, "media_id").select(
+        "media_id", "n_bytes", "sample_rate", "channels",
+        "bits_per_sample", "n_frames", "duration_ms", "content_sha",
     )
 
 
@@ -1266,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1930,6 +1999,18 @@ def oracle_sql() -> dict[str, str]:
         # LSH blocking must find exactly the corpus-wide exact pair set
         "embedding_near_duplicates": _EMB_NEAR_DUP_SQL,
         "media_features": _MEDIA_SQL,
+        "audio_features": """
+            SELECT doc_id AS media_id,
+                   44 + octet_length(encode(text)) AS n_bytes,
+                   CAST(8000 + (doc_id % 8)*1000 AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(16 AS INT) AS bits_per_sample,
+                   octet_length(encode(text)) // ((1 + doc_id % 2)*2) AS n_frames,
+                   (octet_length(encode(text)) // ((1 + doc_id % 2)*2)) * 1000
+                       // (8000 + (doc_id % 8)*1000) AS duration_ms,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
         # macrobase_summaries (stateful/iterative) -> rows-only check;
         # golden-value coverage lives in tests/test_macrobase_chain.py
     }

@@ -450,3 +450,31 @@ def near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+def streaming_exact_dedup(
+    records: DataFrame,
+    ts: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-occurrence exact dedup as a stateful STREAMING operator —
+    the training-pipeline dedup running inside the ingest stream
+    instead of as a batch sweep. content_sha = sha2(text) keys the
+    state store; `dropDuplicatesWithinWatermark` keeps one row per
+    content hash and — unlike plain dropDuplicates on a stream —
+    EVICTS state older than the watermark, so state size is bounded by
+    the hash cardinality of one watermark span, not of the whole
+    10^12-doc history. A duplicate arriving after its original's state
+    expired is re-admitted: that is the documented contract (bounded
+    state buys at-most-one-per-span, exact global dedup remains the
+    batch `exact_duplicates` sweep over the deduped spans).
+
+    Works on batch frames too (falls back to plain dropDuplicates
+    semantics there) — the batch twin used in tests."""
+    out = records.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    if records.isStreaming:
+        return out.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            ["content_sha"]
+        )
+    return out.dropDuplicates(["content_sha"])

@@ -269,3 +269,100 @@ def make_fake_media(spark, n: int = 200, seed: int = 5) -> DataFrame:
         rows, columns=["media_id", "kind", "payload", "mime", "source_url", "captured_ts"]
     )
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, sample_rate int, channels int, "
+    "bits_per_sample int, n_frames long, duration_ms long, payload_sha string"
+)
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, n_frames) from RIFF/
+    WAVE chunk headers — the audio twin of parse_image_header: pure
+    struct reads over the container, no audio libs, PCM decode stays
+    stubbed. Scans word-aligned chunks for 'fmt ' (PCM layout) and
+    'data' (frame count = data size // block align). Returns None on a
+    non-WAV magic, truncated header, or degenerate fmt values
+    (channels/rate/block_align <= 0 — same validate-before-use
+    discipline as _safe_dims, ADVICE r3)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            _, channels, sample_rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+            fmt = (channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, sample_rate, block_align, bits = fmt
+    if channels <= 0 or sample_rate <= 0 or block_align <= 0:
+        return None
+    return sample_rate, channels, bits, data_size // block_align
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over binary payloads: length + sha256
+    stay JVM column expressions; the header parse crosses into Python
+    once as an Arrow-batched struct UDF (same split as
+    extract_media_features). duration_ms uses integer math
+    (frames * 1000 // rate) so the DuckDB oracle replays it exactly.
+    Non-WAV payloads yield NULL features (honest absence, no fake
+    fallback — audio has no equivalent of the byte-grid stand-in)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ret = T.StructType(
+        [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bits_per_sample", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def probe(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payload:
+            parsed = parse_wav_header(bytes(p))
+            if parsed is None:
+                rows.append((None, None, None, None, None))
+            else:
+                rate, ch, bits, frames = parsed
+                rows.append((rate, ch, bits, frames, frames * 1000 // rate))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "sample_rate", "channels", "bits_per_sample", "n_frames",
+                "duration_ms",
+            ],
+        )
+
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        probe(F.col("payload")).alias("_a"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("_a.sample_rate").alias("sample_rate"),
+        F.col("_a.channels").alias("channels"),
+        F.col("_a.bits_per_sample").alias("bits_per_sample"),
+        F.col("_a.n_frames").alias("n_frames"),
+        F.col("_a.duration_ms").alias("duration_ms"),
+        "payload_sha",
+    )

@@ -538,3 +538,52 @@ def test_ivf_centroids_deterministic(spark):
     c1 = train_ivf_centroids(emb, n_centroids=8, seed=13)
     c2 = train_ivf_centroids(emb.repartition(7), n_centroids=8, seed=13)
     assert c1 == c2
+
+
+def test_wav_header_parsing(spark):
+    """RIFF/WAVE chunk-scan parser (audio twin of the image header
+    parser): canonical and extra-chunk layouts parse; truncated,
+    non-WAV, and degenerate-fmt payloads return None; the Spark op
+    emits NULL features for non-audio rows."""
+    import struct
+
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    def wav(rate, ch, bits, data, extra_chunk=False):
+        ba = max(1, ch * bits // 8)
+        body = b""
+        if extra_chunk:  # LIST chunk before fmt — scanner must skip it
+            body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+        body += b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ba, ba, bits)
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    assert parse_wav_header(wav(16000, 2, 16, b"ab" * 200)) == (16000, 2, 16, 100)
+    assert parse_wav_header(wav(8000, 1, 16, b"ab" * 7, extra_chunk=True)) == (8000, 1, 16, 7)
+    assert parse_wav_header(b"not a wav") is None
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    assert parse_wav_header(wav(0, 2, 16, b"abcd")) is None       # rate 0
+    assert parse_wav_header(wav(8000, 0, 16, b"abcd")) is None    # 0 channels
+
+    rows = [
+        (1, wav(44100, 2, 16, b"\x01\x02" * 441)),
+        (2, b"plain text payload"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        schema="media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in extract_audio_features(media).collect()}
+    r1 = out[1]
+    assert (r1.sample_rate, r1.channels, r1.bits_per_sample) == (44100, 2, 16)
+    assert r1.n_frames == 441//2  # 882 bytes / block_align 4
+    assert r1.duration_ms == r1.n_frames * 1000 // 44100
+    assert len(r1.payload_sha) == 64
+    r2 = out[2]
+    assert r2.sample_rate is None and r2.n_frames is None  # honest NULL
+    assert r2.n_bytes == len(b"plain text payload")

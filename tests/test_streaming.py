@@ -521,3 +521,59 @@ def test_lineage_metrics_listener(spark, tmp_path):
         so["num_rows_total"] > 0
         for r in progress for so in r["state_operators"]
     )
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming first-occurrence dedup with bounded state: a planted
+    duplicate arriving inside the watermark span is dropped; the
+    surviving sha set equals the batch dedup on the same rows; and
+    content_sha state is keyed, not per-row (each sha survives exactly
+    once)."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        streaming_exact_dedup,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(400)
+    base = pd.Timestamp("2024-01-01")
+    docs = docs.assign(ts=[base + pd.Timedelta(seconds=7 * i) for i in range(len(docs))])
+    # plant duplicates shortly after their originals (inside watermark)
+    dups = docs[docs.doc_id % 10 == 0].assign(
+        doc_id=lambda d: d.doc_id + 1_000_000,
+        ts=lambda d: d.ts + pd.Timedelta(seconds=3),
+    )
+    pdf = (
+        pd.concat([docs, dups]).sort_values("ts").reset_index(drop=True)
+        [["doc_id", "text", "ts"]]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet timestamp, not ns-int64
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(pdf, src, 4)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    deduped = streaming_exact_dedup(stream, ts="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT doc_id, content_sha FROM dedup_stream").collect()
+
+    batch = streaming_exact_dedup(spark.createDataFrame(pdf), ts="ts")
+    assert not spark.createDataFrame(pdf).isStreaming  # batch twin path
+    want_shas = {r.content_sha for r in batch.select("content_sha").collect()}
+
+    shas = [r.content_sha for r in got]
+    assert len(shas) == len(set(shas)), "each content hash must survive once"
+    assert set(shas) == want_shas
+    # every planted duplicate was dropped in favor of SOME copy, and
+    # the number of dropped rows equals the number of planted dups
+    assert len(pdf) - len(got) == len(dups)
