@@ -130,6 +130,13 @@ def main() -> None:
         "reference's single keyBy(0) detector",
     )
     ap.add_argument(
+        "--dedup-col", default=None,
+        help="record column keying streaming first-occurrence dedup "
+        "ahead of the aggregation (e.g. url: crawl re-fetches within "
+        "the watermark span are dropped); state bounded by one "
+        "watermark span",
+    )
+    ap.add_argument(
         "--hierarchy-from-data", action="store_true",
         help="resolve hierarchical-RCA parent values from per-window "
         "co-occurrence (parent = independent record field) instead of "
@@ -146,6 +153,7 @@ def main() -> None:
         work_dir=args.work, cfg=cfg, tail=build_tail(args),
         size_s=args.window, slide_s=args.slide, watermark=args.watermark,
         with_hierarchy=args.hierarchy_from_data, key=args.key,
+        dedup_col=args.dedup_col,
     )
     stream = build_page_records(
         read_pages_stream(spark, args.input, args.max_files_per_trigger), cfg

@@ -42,7 +42,7 @@ def long_form_window_aggs(
     cfg: EngineConfig,
     size_s: int = 300,
     slide_s: int | None = 60,
-    watermark: str = "0 seconds",
+    watermark: str | None = "0 seconds",
     ts: str = "ts",
     value: str = "value",
     with_hierarchy: bool = False,
@@ -101,7 +101,10 @@ def long_form_window_aggs(
         w = F.window(F.col(ts), f"{size_s} seconds", f"{slide_s} seconds")
 
     source = records
-    if records.isStreaming:
+    if records.isStreaming and watermark is not None:
+        # watermark=None: the caller already set the watermark upstream
+        # (e.g. ahead of a chained stateful dedup) — Spark forbids
+        # redefining it after a stateful operator
         source = records.withWatermark(ts, watermark)
 
     sel = [F.col(ts), F.col(value).alias("_value"), F.expr(stack_expr)]
@@ -154,6 +157,14 @@ class StreamingJob:
     # detector per key value (multi-key tails); None = the reference's
     # single keyBy(0) detector
     key: str | None = None
+    # record column keying streaming first-occurrence dedup ahead of
+    # the aggregation (e.g. 'url': a crawl re-fetch arriving within
+    # the watermark span is dropped before it pollutes window totals).
+    # Implemented as dropDuplicatesWithinWatermark chained in the SAME
+    # query as the windowed aggregation (the watermark is defined once,
+    # upstream of both stateful operators); state is bounded by one
+    # watermark span of distinct keys
+    dedup_col: str | None = None
 
     @property
     def aggs_dir(self) -> str:
@@ -171,8 +182,14 @@ class StreamingJob:
         return os.path.join(self.work_dir, "checkpoints", name)
 
     def start_aggregate_query(self, records_stream: DataFrame):
+        src, wm = records_stream, self.watermark
+        if self.dedup_col is not None and records_stream.isStreaming:
+            src = records_stream.withWatermark("ts", wm).dropDuplicatesWithinWatermark(
+                [self.dedup_col]
+            )
+            wm = None  # already defined upstream of the dedup operator
         aggs = long_form_window_aggs(
-            records_stream, self.cfg, self.size_s, self.slide_s, self.watermark,
+            src, self.cfg, self.size_s, self.slide_s, wm,
             with_hierarchy=self.with_hierarchy, key=self.key,
         )
         aggs_dir = self.aggs_dir

@@ -577,3 +577,55 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # every planted duplicate was dropped in favor of SOME copy, and
     # the number of dropped rows equals the number of planted dups
     assert len(pdf) - len(got) == len(dups)
+
+
+def test_streaming_job_dedup_col(spark, tmp_path):
+    """StreamingJob(dedup_col='url'): crawl re-fetches (duplicate urls
+    arriving within the watermark span) are dropped BEFORE the windowed
+    aggregation, chained in the same query as the agg (one upstream
+    watermark, two stateful operators). The aggs table over the
+    duplicated stream equals the no-dedup job over the clean stream."""
+    pdf = generate_pages(PagesSpec(n_pages=1500)).sort_values("warc_ts")
+    clean = pdf.drop_duplicates("url").reset_index(drop=True)
+
+    clean_path = tmp_path / "clean"
+    clean_path.mkdir()
+    _write_chunks(clean, clean_path, 6)
+
+    # duplicated stream: every file is immediately followed by a full
+    # copy of itself (same rows, same warc_ts) — re-fetches landing
+    # well inside the 30-minute dedup span
+    dup_path = tmp_path / "dup"
+    dup_path.mkdir()
+    chunk = (len(clean) + 5) // 6
+    idx = 0
+    for i in range(6):
+        part = clean.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            continue
+        _write_chunks(part, dup_path, 1, start_idx=idx)
+        _write_chunks(part, dup_path, 1, start_idx=idx + 1)
+        idx += 2
+
+    tail = TailConfig(mode="threshold", min_value=0, max_value=float("inf"))
+
+    def run(path, work, dedup_col):
+        job = StreamingJob(
+            work_dir=str(tmp_path / work), cfg=CFG, tail=tail,
+            size_s=300, slide_s=60, watermark="30 minutes",
+            dedup_col=dedup_col,
+        )
+        stream = build_page_records(read_pages_stream(spark, str(path)), CFG)
+        q = job.start_aggregate_query(stream)
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(job.aggs_dir)
+
+    deduped = run(dup_path, "dedup_job", "url")
+    baseline = run(clean_path, "clean_job", None)
+    assert deduped.count() > 0
+    assert _norm_rows(deduped) == _norm_rows(baseline)
+
+    # and WITHOUT dedup the duplicated stream inflates the totals
+    inflated = run(dup_path, "nodedup_job", None)
+    assert _norm_rows(inflated) != _norm_rows(baseline)
