@@ -1169,11 +1169,79 @@ def q_macrobase_summaries_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_macrobase_summaries_multiattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second summarizer gate (r4): TWO attributes with
+    attribute_combinations=False. Every event now marks ALL its
+    present dimension values in the AMC sketches (observe_all over
+    event_type + user_bucket), the FP-trees RECEIVE transactions
+    (insert_transaction_false_negative runs — the not-combinations
+    branch, :260/:267) but get_itemsets() still short-circuits to the
+    single-item path (:330), so the output stays a closed-form
+    function of per-window attribute presence x the detector flag —
+    same replay as the single-attribute gate with a two-dimension
+    observation set and a 1/32 support cut (exact binary; with ~15
+    values/window no dim can reach the single-attr 1/8 cut).
+    Together the two gates cover both branches of the summarizer's
+    combinations_enabled/attribute_dimension routing."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
+        SummarizerSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    records = _events(spark, sf_dir)
+    aggs = _q6_aggs(
+        long_form_window_aggs(records, events_config(), _MBS_WINDOW_S, None)
+    )
+    tail = TailConfig(
+        mode="macrobase",
+        rca_mode="macrobase",
+        detector_spec=EWFeatureSpec(
+            warmup_count=_MB_WARMUP,
+            sample_size=1_000_000,
+            decay_period=1_000_000_000,
+            decay_rate=0.0,
+            training_period=_MB_TRAINING_PERIOD,
+            percentile=_MBS_PERCENTILE,
+        ),
+        summarizer_spec=SummarizerSpec(
+            summary_update_period=100,
+            decay_rate=0.0,
+            outlier_item_summary_size=1000,
+            inlier_item_summary_size=1000,
+            min_oi_ratio=0.0,
+            min_support=1 / 32,
+            attributes=["event_type", "user_bucket"],
+            attribute_combinations=False,
+            summary_generation_period=_MBS_GEN_PERIOD,
+        ),
+    )
+    out = make_batch_tail(aggs, tail)
+    return out.filter(F.col("row_type") == "rca").select(
+        "seq",
+        "window_start_epoch",
+        "dim_name",
+        "dim_value",
+        _r4("support").alias("support"),
+        "num_records",
+        _r4("ratio_to_inliers").alias("ratio_to_inliers"),
+    )
+
+
 def _macrobase_summaries_single_oracle_sql(
     warmup: int = _MB_WARMUP,
     percentile: float = _MBS_PERCENTILE,
     gen_period: int = _MBS_GEN_PERIOD,
     min_support: float = _MBS_MIN_SUPPORT,
+    multi_attr: bool = False,
 ) -> str:
     """DuckDB replay of q_macrobase_summaries_single. Layers on top of
     the macrobase_alerts detector chain (same tot/ti/k/train/.../sc/th
@@ -1194,6 +1262,15 @@ def _macrobase_summaries_single_oracle_sql(
     )
     med_v = med.format(L="sl", n="n")
     med_r = med.format(L="res", n="n")
+    one = (
+        "SELECT DISTINCT CAST(floor(epoch(ts)/{w})*{w} AS BIGINT) AS ws, "
+        "'{{d}}' AS dname, {{expr}} AS val FROM events"
+    ).format(w=_MBS_WINDOW_S)
+    obs_inner = one.format(d="event_type", expr="event_type")
+    if multi_attr:
+        obs_inner += " UNION " + one.format(
+            d="user_bucket", expr="CAST(user_id % 10 AS VARCHAR)"
+        )
     return f"""
 WITH tot AS (
   SELECT CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
@@ -1247,27 +1324,24 @@ flags AS (
   FROM sc, th
 ),
 obs AS (
-  -- one AMC observation per (window, event_type value present)
-  SELECT ti.idx AS t, e.event_type AS val
-  FROM (SELECT DISTINCT
-          CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
-          event_type
-        FROM events) e
+  -- one AMC observation per (window, attribute value present)
+  SELECT ti.idx AS t, e.dname, e.val
+  FROM ({obs_inner}) e
   JOIN ti ON ti.ws = e.ws
 ),
 emits AS (SELECT idx AS T, ws FROM ti WHERE idx % {period} = 0),
 cnt AS (
-  SELECT em.T, em.ws, o.val,
+  SELECT em.T, em.ws, o.dname, o.val,
          CAST(sum(CASE WHEN f.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
          CAST(sum(CASE WHEN f.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
   FROM emits em
   JOIN obs o ON o.t < em.T
   JOIN flags f ON f.t = o.t
-  GROUP BY em.T, em.ws, o.val
+  GROUP BY em.T, em.ws, o.dname, o.val
 ),
 tots AS (SELECT T, sum(oc) AS tout, sum(ic) AS tin FROM cnt GROUP BY T),
 rr AS (
-  SELECT c.T, c.ws, c.val, c.oc, c.ic, t.tout, t.tin,
+  SELECT c.T, c.ws, c.dname, c.val, c.oc, c.ic, t.tout, t.tin,
          c.ic + c.oc AS te,
          t.tin + t.tout - (c.ic + c.oc) AS tme,
          t.tout - c.oc AS uo,
@@ -1276,7 +1350,7 @@ rr AS (
   WHERE c.oc >= t.tout * {min_support}
 ),
 scored AS (
-  SELECT T, ws, val, oc, tout,
+  SELECT T, ws, dname, val, oc, tout,
     CASE
       WHEN te = 0 OR oc = 0 OR tme = 0 THEN 0.0
       WHEN uo = 0 THEN CAST('inf' AS DOUBLE)
@@ -1286,7 +1360,7 @@ scored AS (
   FROM rr
 )
 SELECT T AS seq, ws AS window_start_epoch,
-       'event_type' AS dim_name, val AS dim_value,
+       dname AS dim_name, val AS dim_value,
        floor(oc/tout*10000 + 0.5)/10000 AS support,
        oc AS num_records,
        CASE WHEN isinf(cr) THEN NULL
@@ -1321,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macrobase_alerts": q_macrobase_alerts,
         "macrobase_summaries": q_macrobase_summaries,
         "macrobase_summaries_single": q_macrobase_summaries_single,
+        "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
@@ -1981,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
         "zscore_alerts_by_key": _zscore_by_key_oracle_sql(),
         "macrobase_alerts": _macrobase_alerts_oracle_sql(),
         "macrobase_summaries_single": _macrobase_summaries_single_oracle_sql(),
+        "macrobase_summaries_multiattr": _macrobase_summaries_single_oracle_sql(
+            multi_attr=True, min_support=1 / 32
+        ),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # near_duplicates (LSH candidates -> exact verify) must find
