@@ -1169,6 +1169,139 @@ def q_macrobase_summaries_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------- isolation-forest-style detector (north_star)
+_HS_WINDOW = 32      # reference block size (windows)
+_HS_THRESHOLD = 8.0  # previous-block leaf mass <= this -> outlier
+_HS_TREES = 8
+_HS_DEPTH = 6
+_HS_SEED = 5
+
+
+def q_hstrees_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-Space Trees (isolation-forest family, Tan et al. IJCAI'11)
+    over 1800s tumbling window totals, through the REAL StreamingTail
+    path (mode='hstrees'). The tree structure is a pure function of
+    the seed (algorithms/hstrees.py::hs_tree_intervals — ONE source of
+    truth shared with the oracle below), and scoring is previous-
+    reference-block leaf mass, so given 6dp-quantized normalized
+    totals the whole detector is bit-replayable: the oracle joins the
+    same leaf-interval table and recomputes block masses with a
+    grouped count. Totals are normalized into [0,1] by the global max
+    (the workspace-bounds profile a production stream would configure
+    from history; here the batch gate computes it in both engines
+    identically)."""
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    cfg = events_config_single()
+    records = build_typed_records_events_single(spark, sf_dir, cfg)
+    aggs = _q6_aggs(long_form_window_aggs(records, cfg, _MBS_WINDOW_S, None))
+    mx = aggs.filter(F.col("dim_name") == "__total__").agg(
+        F.max("dim_sum").alias("_mx")
+    )
+    normed = (
+        aggs.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "dim_sum",
+            F.floor(F.col("dim_sum") / F.col("_mx") * 1000000.0 + 0.5) / 1000000.0,
+        )
+        .drop("_mx")
+    )
+    tail = TailConfig(
+        mode="hstrees",
+        hs_lo=0.0,
+        hs_hi=1.0,
+        hs_trees=_HS_TREES,
+        hs_depth=_HS_DEPTH,
+        hs_window=_HS_WINDOW,
+        hs_threshold=_HS_THRESHOLD,
+        hs_seed=_HS_SEED,
+    )
+    out = make_batch_tail(normed, tail)
+    return out.filter(F.col("row_type") == "alert").select(
+        "seq",
+        "window_start_epoch",
+        _r4("current").alias("current"),
+        _r4("score").alias("score"),
+        "is_outlier",
+    )
+
+
+def build_typed_records_events_single(spark, sf_dir, cfg):
+    from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+        build_typed_records,
+    )
+
+    return build_typed_records(spark.read.parquet(f"{sf_dir}/events.parquet"), cfg)
+
+
+def _hstrees_oracle_sql(
+    window: int = _HS_WINDOW,
+    threshold: float = _HS_THRESHOLD,
+    n_trees: int = _HS_TREES,
+    depth: int = _HS_DEPTH,
+    seed: int = _HS_SEED,
+) -> str:
+    """DuckDB replay of q_hstrees_alerts: the seeded leaf intervals
+    (same hs_tree_intervals call as the engine — identical literals)
+    as a VALUES table, block masses as grouped counts, score = summed
+    previous-block mass of the point's leaf per tree."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.hstrees import (
+        hs_tree_intervals,
+    )
+
+    rows = []
+    for t, cuts in enumerate(hs_tree_intervals(n_trees, depth, seed)):
+        bounds = [0.0] + cuts + [2.0]  # last interval hi-open past x<=1
+        for leaf, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            rows.append(f"({t}, {lo!r}, {hi!r}, {leaf})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH tot AS (
+  SELECT CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
+         floor(sum(value)*1000000 + 0.5)/1000000 AS v
+  FROM events GROUP BY 1
+),
+mx AS (SELECT max(v) AS m FROM tot),
+ti AS (
+  SELECT ws, row_number() OVER (ORDER BY ws) AS idx,
+         floor(v/m*1000000 + 0.5)/1000000 AS x
+  FROM tot, mx
+),
+leaves(tree, lo, hi, leaf) AS (
+  VALUES
+    {values}
+),
+pt AS (
+  SELECT ti.idx, ti.ws, ti.x, l.tree, l.leaf
+  FROM ti JOIN leaves l ON ti.x >= l.lo AND ti.x < l.hi
+),
+bc AS (
+  SELECT tree, leaf, (idx - 1) // {window} AS b, count(*) AS c
+  FROM pt GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT p.idx, p.ws, p.x,
+         CAST(sum(coalesce(bc.c, 0)) AS DOUBLE) AS score
+  FROM pt p
+  LEFT JOIN bc ON bc.tree = p.tree AND bc.leaf = p.leaf
+              AND bc.b = (p.idx - 1) // {window} - 1
+  GROUP BY 1, 2, 3
+)
+SELECT idx AS seq, ws AS window_start_epoch,
+       floor(x*10000 + 0.5)/10000 AS current,
+       floor(score*10000 + 0.5)/10000 AS score,
+       score <= {threshold} AS is_outlier
+FROM sc
+WHERE (idx - 1) // {window} > 0
+"""
+
+
 def q_macrobase_summaries_multiattr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second summarizer gate (r4): TWO attributes with
     attribute_combinations=False. Every event now marks ALL its
@@ -1396,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macrobase_summaries": q_macrobase_summaries,
         "macrobase_summaries_single": q_macrobase_summaries_single,
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
+        "hstrees_alerts": q_hstrees_alerts,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
@@ -2059,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "macrobase_summaries_multiattr": _macrobase_summaries_single_oracle_sql(
             multi_attr=True, min_support=1 / 32
         ),
+        "hstrees_alerts": _hstrees_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # near_duplicates (LSH candidates -> exact verify) must find

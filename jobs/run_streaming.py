@@ -86,6 +86,18 @@ def build_tail(args: argparse.Namespace) -> TailConfig:
             ewma_z_threshold=args.ewma_z,
             **common,
         )
+    if args.detector == "hstrees":
+        # isolation-forest-style Half-Space Trees; workspace bounds
+        # come from a historical profile of the metric (never from the
+        # future of the stream)
+        return TailConfig(
+            mode="hstrees",
+            hs_lo=args.hs_lo,
+            hs_hi=args.hs_hi,
+            hs_window=args.hs_window,
+            hs_threshold=args.hs_threshold,
+            **common,
+        )
     # MainJob.scala:35-47 default MacroBase detector hyper-parameters
     return TailConfig(
         mode="macrobase",
@@ -102,10 +114,17 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--work", required=True)
     ap.add_argument(
-        "--detector", choices=["threshold", "macrobase", "zscore"], default="threshold"
+        "--detector",
+        choices=["threshold", "macrobase", "zscore", "hstrees"],
+        default="threshold",
     )
     ap.add_argument("--ewma-alpha", type=float, default=0.1)
     ap.add_argument("--ewma-z", type=float, default=3.0)
+    ap.add_argument("--hs-lo", type=float, default=0.0)
+    ap.add_argument("--hs-hi", type=float, default=1.0,
+                    help="hstrees workspace upper bound (historical profile)")
+    ap.add_argument("--hs-window", type=int, default=32)
+    ap.add_argument("--hs-threshold", type=float, default=8.0)
     ap.add_argument(
         "--rca", choices=["simple", "hierarchical", "macrobase"], default=None,
         help="RCA method; default = the reference pairing for the detector",

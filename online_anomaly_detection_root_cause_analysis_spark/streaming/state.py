@@ -59,7 +59,11 @@ class TailConfig:
     # reference defaults: simple for threshold, macrobase for
     # macrobase detection. mode="zscore" is the engine's own EWMA
     # z-score detector (north_star), outside the reference's set.
-    mode: str = "threshold"  # threshold | macrobase | zscore
+    # mode="hstrees" is the engine's isolation-forest-style streaming
+    # detector (north_star), outside the reference's set: seeded
+    # Half-Space Trees scoring window totals normalized into the
+    # [hs_lo, hs_hi) workspace (algorithms/hstrees.py)
+    mode: str = "threshold"  # threshold | macrobase | zscore | hstrees
     rca_mode: str | None = None  # simple | hierarchical | macrobase
     baseline_n: int = 10
     min_value: float = float("-inf")
@@ -69,6 +73,17 @@ class TailConfig:
     summarizer_spec: SummarizerSpec | None = None
     ewma_alpha: float = 0.1
     ewma_z_threshold: float = 3.0
+    # Half-Space Trees (mode="hstrees"): fixed workspace bounds (the
+    # paper's known-normalization assumption — at scale these come
+    # from a historical profile, never from the future of the stream),
+    # ensemble shape, reference-block size, mass threshold, seed
+    hs_lo: float = 0.0
+    hs_hi: float = 1.0
+    hs_trees: int = 8
+    hs_depth: int = 6
+    hs_window: int = 32
+    hs_threshold: float = 8.0
+    hs_seed: int = 5
     # hierarchy for rca_mode="hierarchical": child dim name -> parent
     # dim name, and a PICKLABLE module-level fn (child_name,
     # child_value) -> parent_value. The reference builds the child ->
@@ -130,6 +145,7 @@ class StreamingTail:
     classifier: EWAppxPercentileAuxiliary | None = None
     summarizer: ExponentiallyDecayingEmergingItemsets | None = None
     ewma: EWMAZScore | None = None
+    hstrees: Any = None
 
     def __post_init__(self) -> None:
         self.rca = self.config.rca_mode or (
@@ -143,6 +159,16 @@ class StreamingTail:
             self.ewma = EWMAZScore(
                 alpha=self.config.ewma_alpha,
                 z_threshold=self.config.ewma_z_threshold,
+            )
+        if self.config.mode == "hstrees" and self.hstrees is None:
+            from ..algorithms.hstrees import HalfSpaceTrees
+
+            self.hstrees = HalfSpaceTrees(
+                n_trees=self.config.hs_trees,
+                depth=self.config.hs_depth,
+                window=self.config.hs_window,
+                threshold=self.config.hs_threshold,
+                seed=self.config.hs_seed,
             )
         if self.rca == "macrobase" and self.summarizer is None:
             self.summarizer = ExponentiallyDecayingEmergingItemsets.from_spec(
@@ -186,6 +212,8 @@ class StreamingTail:
             return self._threshold(window_start, record)
         if self.config.mode == "zscore":
             return self._zscore(window_start, record)
+        if self.config.mode == "hstrees":
+            return self._hstrees(window_start, record)
         return self._macrobase(window_start, record)
 
     def _alert_row(
@@ -362,6 +390,27 @@ class StreamingTail:
             is_outlier=True, score=z,
         )
         return [row] + self._rca_rows(window_start, rec)
+
+    def _hstrees(
+        self, window_start: int, rec: AggregatedRecordsWBaseline
+    ) -> list[dict[str, Any]]:
+        """Isolation-forest-style detection (algorithms/hstrees.py):
+        the window total is normalized into the configured workspace,
+        scored against the previous reference block's leaf masses, and
+        emitted with its score once a reference block exists (the
+        same emit-all-scored-windows shape as the MacroBase alert
+        gate). RCA dispatch runs on outliers."""
+        cfg = self.config
+        span = cfg.hs_hi - cfg.hs_lo
+        x = (rec.current - cfg.hs_lo) / span if span > 0 else 0.0
+        x = min(max(x, 0.0), 1.0)
+        score, is_outlier = self.hstrees.update(x)
+        if score is None:
+            return []
+        out = [self._alert_row(window_start, rec, is_outlier, score)]
+        if is_outlier:
+            out.extend(self._rca_rows(window_start, rec, True))
+        return out
 
     def _macrobase(
         self, window_start: int, rec: AggregatedRecordsWBaseline

