@@ -17,12 +17,33 @@ from .models import Dimension, DimensionSummary
 
 MIN_CONTRIBUTION_OF_INTEREST_PCT = 3.0
 
+_LONG_MAX = 9223372036854775807
+_LONG_MIN = -9223372036854775808
+
+
+def _jscale(x: float, scale: float) -> float:
+    """Java Math.round(x*scale)/scale on doubles, totally: NaN/Inf
+    propagate (existing documented NULL/NaN policy), and huge FINITE
+    x saturates at Long.MAX/MIN like Math.round does — Python's
+    math.floor would otherwise raise OverflowError on x*scale
+    overflowing to inf (found by fuzz: a denormal denominator in ctoc
+    makes the quotient ~1e307, finite, but *1e4 is inf)."""
+    if math.isnan(x) or math.isinf(x):
+        return x
+    y = x * scale + 0.5
+    if math.isinf(y):
+        return (_LONG_MAX if y > 0 else _LONG_MIN) / scale
+    f = math.floor(y)
+    if f > _LONG_MAX:
+        return _LONG_MAX / scale
+    if f < _LONG_MIN:
+        return _LONG_MIN / scale
+    return f / scale
+
 
 def _jround4(x: float) -> float:
     # Java Math.round(x*1e4)/1e4 (Stats.scala:72-74)
-    if math.isnan(x) or math.isinf(x):
-        return x
-    return math.floor(x * 10000.0 + 0.5) / 10000.0
+    return _jscale(x, 10000.0)
 
 
 def _q6(x: float) -> float:
@@ -31,9 +52,7 @@ def _q6(x: float) -> float:
     python twins quantize every cost/ratio input the same way, or
     near-zero cost signs flip between the paths (and vs the DuckDB
     oracle)."""
-    if math.isnan(x) or math.isinf(x):
-        return x
-    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    return _jscale(x, 1000000.0)
 
 
 def value_change_percentage(baseline: float, current: float) -> float:
