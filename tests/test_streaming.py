@@ -693,3 +693,41 @@ def test_streaming_hstrees_matches_replay(spark, tmp_path):
         for e in expected if e["row_type"] == "alert"
     )
     assert got == want
+
+
+def test_checkpoint_resume_hstrees(spark, tmp_path):
+    """Kill + restart with the isolation-forest-style detector: the
+    pickled Half-Space-Trees state (tuple counter + both mass-count
+    blocks) must survive the restart mid-reference-block — the resumed
+    run's alerts equal one uninterrupted run, score-for-score."""
+    pdf = generate_pages(PagesSpec(n_pages=2000)).sort_values("warc_ts")
+    inc_path = tmp_path / "pages_inc"
+    inc_path.mkdir(parents=True)
+    _write_chunks(pdf.iloc[:1000], inc_path, 4, start_idx=0)
+
+    batch_records = build_page_records(
+        spark.read.schema(pages_schema()).parquet(str(inc_path)), CFG
+    )
+    hi = (
+        long_form_window_aggs(batch_records, CFG, 300, 60)
+        .filter(F.col("dim_name") == "__total__")
+        .agg(F.max("dim_sum")).collect()[0][0] * 2.0
+    )
+    tail = TailConfig(
+        mode="hstrees", hs_lo=0.0, hs_hi=hi, hs_window=16, hs_threshold=8.0
+    )
+    work = str(tmp_path / "job_inc")
+    _run_job(spark, work, str(inc_path), tail)
+    _write_chunks(pdf.iloc[1000:], inc_path, 4, start_idx=4)
+    job = _run_job(spark, work, str(inc_path), tail)
+
+    golden_work = str(tmp_path / "job_gold")
+    all_path = tmp_path / "pages_all"
+    all_path.mkdir(parents=True)
+    _write_chunks(pdf, all_path, 8)
+    gold = _run_job(spark, golden_work, str(all_path), tail)
+
+    got = spark.read.parquet(job.alerts_dir)
+    want = spark.read.parquet(gold.alerts_dir)
+    assert want.count() > 0
+    assert _norm_rows(got) == _norm_rows(want)
