@@ -1369,6 +1369,130 @@ def q_macrobase_summaries_multiattr(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_macrobase_summaries_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third summarizer gate (r5): the FP-growth PAIR-EMISSION branch —
+    the last previously-ungated code path of
+    ExponentiallyDecayingEmergingItemsets.scala:330-383 (multi-item
+    itemset mining, equal-count subset dedup, inlier getCounts lookup,
+    risk-ratio >= filter). Operating point that makes the FP-trees
+    exactly SQL-replayable:
+
+    - each window's breakdown is restricted to the DOMINANT value per
+      attribute (row_number over quantized dim_sum desc, dim_value asc)
+      so every summarizer transaction has exactly 2 items and mined
+      itemsets have size <= 2 (no triples; the single-path x branching
+      cross-product in mine_itemsets can't fire at depth 2);
+    - the second attribute is user_parity (user_id % 2, TWO values) so
+      the two attributes' item counts are STRATIFIED (~N/2 per parity
+      vs ~N/5 per event type): a stored pair path's two items then
+      never swap frequent-item order, which is the precondition for
+      the tree's pair supports to equal plain pair counts. (With the
+      10-value user_bucket, bucket/type count crossings leave stale
+      paths that getSupport's up-walk misses — the reference design's
+      own false-negative mechanism, StreamingFPTree.scala:98-127 —
+      and the counts drift below the closed form.) Verified
+      empirically at sf0.001/0.01: zero count diffs over 799 pair
+      emissions; tie-order determinism guaranteed by rows_to_windows'
+      (dim_name, dim_value) within-window sort;
+    - summary_update_period=0: interesting-items rebuilt from the
+      outlier AMC at EVERY tuple, so an item is in both FP-trees' maps
+      at tuple t iff it occurred in some outlier tuple < t. Under
+      insert_transaction_false_negative (filter_existing=True,
+      StreamingFPTree.scala:272-301) a pair {a,b} is therefore counted
+      in tuple t's tree iff t > first_outlier(a) and t >
+      first_outlier(b) — a plain window-function predicate;
+    - decay 0 + AMC sizes >= distinct items: all counts exact
+      integers, int() truncation in getSupport lossless;
+    - min_support=0: the interesting filter, the mining threshold
+      int(root.count * s), and the single-item support cut all
+      degenerate to 0, leaving the pair counting + risk-ratio + dedup
+      machinery as the only behavior under test.
+
+    Output is the long-form rca row per dimension summary (n_dims=2
+    rows are the pair branch; n_dims=1 rows the single-item branch,
+    re-gated here at min_support 0)."""
+    from pyspark.sql import Window as W
+
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
+        SummarizerSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
+        build_typed_records,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    derived = df.withColumn(
+        "user_parity", (F.col("user_id") % 2).cast("string")
+    )
+    cfg = EngineConfig(
+        timestamp_field="ts",
+        value_field="value",
+        dimensions=[
+            DimensionSpec("event_type", group="type"),
+            DimensionSpec("user_parity", group="user"),
+        ],
+    )
+    records = build_typed_records(derived, cfg)
+    aggs = _q6_aggs(long_form_window_aggs(records, cfg, _MBS_WINDOW_S, None))
+    w = W.partitionBy("window_start_epoch", "dim_name").orderBy(
+        F.desc("dim_sum"), F.asc("dim_value")
+    )
+    dominant_dims = (
+        aggs.filter(F.col("dim_name") != "__total__")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    dominant = aggs.filter(F.col("dim_name") == "__total__").unionByName(
+        dominant_dims
+    )
+    tail = TailConfig(
+        mode="macrobase",
+        rca_mode="macrobase",
+        detector_spec=EWFeatureSpec(
+            warmup_count=_MB_WARMUP,
+            sample_size=1_000_000,
+            decay_period=1_000_000_000,
+            decay_rate=0.0,
+            training_period=_MB_TRAINING_PERIOD,
+            percentile=_MBS_PERCENTILE,
+        ),
+        summarizer_spec=SummarizerSpec(
+            summary_update_period=0,         # interesting refreshed per tuple
+            decay_rate=0.0,
+            outlier_item_summary_size=1000,  # >= distinct (attr, value) items
+            inlier_item_summary_size=1000,
+            min_oi_ratio=0.0,
+            min_support=0.0,
+            attributes=["event_type", "user_parity"],
+            attribute_combinations=True,     # dimension 2 -> pair mining LIVE
+            summary_generation_period=_MBS_GEN_PERIOD,
+        ),
+    )
+    out = make_batch_tail(dominant, tail)
+    return out.filter(F.col("row_type") == "rca").select(
+        "seq",
+        "window_start_epoch",
+        "dim_name",
+        "dim_value",
+        _r4("support").alias("support"),
+        "num_records",
+        _r4("ratio_to_inliers").alias("ratio_to_inliers"),
+        F.col("n_dims").cast("long").alias("n_dims"),
+    )
+
+
 def _macrobase_summaries_single_oracle_sql(
     warmup: int = _MB_WARMUP,
     percentile: float = _MBS_PERCENTILE,
@@ -1503,6 +1627,205 @@ WHERE cr > 0.0
 """
 
 
+def _macrobase_summaries_pairs_oracle_sql(
+    warmup: int = _MB_WARMUP,
+    percentile: float = _MBS_PERCENTILE,
+    gen_period: int = _MBS_GEN_PERIOD,
+) -> str:
+    """DuckDB replay of q_macrobase_summaries_pairs. Same detector
+    prelude as the other MacroBase gates; then
+
+    - doms: dominant (argmax by 6dp-quantized sum, dim_value asc
+      tie-break) value per (window, attribute) — the engine-side
+      row_number filter, replayed;
+    - fo: each item's first outlier tuple. Under per-tuple interesting
+      refresh a pair {a,b} in tuple t enters a tree iff both items'
+      first outlier occurrence is < t (see the query docstring);
+    - pcnt: outlier/inlier pair counts at each emission T over captured
+      tuples < T, pairs present in the outlier tree only (oc >= 1 —
+      mined itemsets come from the OUTLIER tree);
+    - prr/pscored: RiskRatio.scala:17-83 corrected formula verbatim
+      with the AMC totals (tout/tin are item-mark totals = 2x events);
+      pairs use ratio >= min_ratio (the `>=` at :234 of summarizer.py /
+      :365 of the reference), singles keep the strict `>`;
+    - the pair row is exploded to its two (dim_name, dim_value)
+      members, n_dims=2, same (support, num_records, ratio) on both."""
+    w1 = warmup - 1
+    thr_idx1 = int(percentile * w1) + 1
+    period = gen_period + 1
+    med = (
+        "CASE WHEN {n} % 2 = 0 THEN ({L}[{n}//2] + {L}[{n}//2 + 1])/2.0 "
+        "ELSE {L}[{n}//2 + 1] END"
+    )
+    med_v = med.format(L="sl", n="n")
+    med_r = med.format(L="res", n="n")
+    dsum_one = (
+        "SELECT CAST(floor(epoch(ts)/{w})*{w} AS BIGINT) AS ws, "
+        "'{{d}}' AS dname, {{expr}} AS val, "
+        "floor(sum(value)*1000000 + 0.5)/1000000 AS s "
+        "FROM events GROUP BY 1, 3"
+    ).format(w=_MBS_WINDOW_S)
+    dsums = (
+        dsum_one.format(d="event_type", expr="event_type")
+        + " UNION ALL "
+        + dsum_one.format(d="user_parity", expr="CAST(user_id % 2 AS VARCHAR)")
+    )
+    rr_case = """CASE
+      WHEN te = 0 OR oc = 0 OR tme = 0 THEN 0.0
+      WHEN uo = 0 THEN CAST('inf' AS DOUBLE)
+      ELSE (oc/te)/(uo/tme)
+           - 2.0*sqrt((ic/oc)/te + (CASE WHEN ui = 0 THEN NULL ELSE 1.0 END)/tme)
+    END AS cr"""
+    return f"""
+WITH tot AS (
+  SELECT CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
+         floor(sum(value)*1000000 + 0.5)/1000000 AS v
+  FROM events GROUP BY 1
+),
+ti AS (
+  SELECT ws, v, row_number() OVER (ORDER BY ws) AS idx FROM tot
+),
+k AS (
+  SELECT idx AS t,
+         greatest({w1}, CASE WHEN idx % 2 = 0 THEN idx - 1 ELSE idx - 2 END) AS kk
+  FROM ti
+),
+train AS (
+  SELECT k.t, list(b.v ORDER BY b.idx) AS l
+  FROM k JOIN ti b ON b.idx <= k.kk
+  GROUP BY k.t
+),
+srt AS (SELECT t, list_sort(l) AS sl, len(l) AS n FROM train),
+meds AS (SELECT t, n, sl, {med_v} AS med FROM srt),
+resid AS (
+  SELECT t, n, med,
+         list_sort(list_transform(sl, x -> abs(x - med))) AS res
+  FROM meds
+),
+mads AS (
+  SELECT t, med,
+    CASE WHEN ({med_r}) = 0
+         THEN list_sum(res[CAST(floor(n*0.05) AS INT) + 1 : CAST(floor(n*0.95) AS INT)])
+              / (CAST(floor(n*0.95) AS INT) - CAST(floor(n*0.05) AS INT))
+         ELSE ({med_r})
+    END AS mad
+  FROM resid
+),
+sc AS (
+  SELECT ti.idx AS t, ti.ws, abs(ti.v - m.med)/m.mad AS s
+  FROM ti JOIN mads m ON m.t = ti.idx
+),
+th AS (
+  SELECT list_sort(list(s ORDER BY t))[{thr_idx1}] AS thr
+  FROM sc WHERE t <= {w1}
+),
+flags AS (
+  SELECT sc.t,
+         CASE WHEN sc.t <= {warmup}
+              THEN (SELECT s FROM sc WHERE t = {warmup}) > th.thr
+              ELSE sc.s > th.thr END AS flag
+  FROM sc, th
+),
+doms AS (
+  SELECT ws, dname, val FROM (
+    SELECT ws, dname, val,
+           row_number() OVER (PARTITION BY ws, dname ORDER BY s DESC, val) AS rn
+    FROM ({dsums})
+  ) WHERE rn = 1
+),
+obs AS (
+  SELECT ti.idx AS t, d.dname, d.val
+  FROM doms d JOIN ti ON ti.ws = d.ws
+),
+emits AS (SELECT idx AS T, ws FROM ti WHERE idx % {period} = 0),
+cnt AS (
+  SELECT em.T, em.ws, o.dname, o.val,
+         CAST(sum(CASE WHEN f.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
+         CAST(sum(CASE WHEN f.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
+  FROM emits em
+  JOIN obs o ON o.t < em.T
+  JOIN flags f ON f.t = o.t
+  GROUP BY em.T, em.ws, o.dname, o.val
+),
+tots AS (SELECT T, sum(oc) AS tout, sum(ic) AS tin FROM cnt GROUP BY T),
+rr AS (
+  SELECT c.T, c.ws, c.dname, c.val, c.oc, c.ic, t.tout, t.tin,
+         c.ic + c.oc AS te,
+         t.tin + t.tout - (c.ic + c.oc) AS tme,
+         t.tout - c.oc AS uo,
+         t.tin - c.ic AS ui
+  FROM cnt c JOIN tots t ON t.T = c.T
+),
+scored AS (
+  SELECT T, ws, dname, val, oc, tout, {rr_case}
+  FROM rr
+),
+fo AS (
+  SELECT o.dname, o.val, min(o.t) AS fot
+  FROM obs o JOIN flags f ON f.t = o.t AND f.flag
+  GROUP BY 1, 2
+),
+pw AS (
+  SELECT t,
+         max(CASE WHEN dname = 'event_type' THEN val END) AS v1,
+         max(CASE WHEN dname = 'user_parity' THEN val END) AS v2
+  FROM obs GROUP BY t
+),
+cap AS (
+  SELECT pw.t, pw.v1, pw.v2, f.flag
+  FROM pw
+  JOIN flags f ON f.t = pw.t
+  JOIN fo f1 ON f1.dname = 'event_type' AND f1.val = pw.v1 AND f1.fot < pw.t
+  JOIN fo f2 ON f2.dname = 'user_parity' AND f2.val = pw.v2 AND f2.fot < pw.t
+),
+pcnt AS (
+  SELECT em.T, em.ws, c.v1, c.v2,
+         CAST(sum(CASE WHEN c.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
+         CAST(sum(CASE WHEN c.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
+  FROM emits em JOIN cap c ON c.t < em.T
+  GROUP BY 1, 2, 3, 4
+  HAVING sum(CASE WHEN c.flag THEN 1 ELSE 0 END) > 0
+),
+prr AS (
+  SELECT p.T, p.ws, p.v1, p.v2, p.oc, p.ic, t.tout, t.tin,
+         p.ic + p.oc AS te,
+         t.tin + t.tout - (p.ic + p.oc) AS tme,
+         t.tout - p.oc AS uo,
+         t.tin - p.ic AS ui
+  FROM pcnt p JOIN tots t ON t.T = p.T
+),
+pscored AS (
+  SELECT T, ws, v1, v2, oc, tout, {rr_case}
+  FROM prr
+),
+pout AS (
+  SELECT T, ws, 'event_type' AS dname, v1 AS val, oc, tout, cr
+  FROM pscored WHERE cr >= 0.0
+  UNION ALL
+  SELECT T, ws, 'user_parity' AS dname, v2 AS val, oc, tout, cr
+  FROM pscored WHERE cr >= 0.0
+)
+SELECT T AS seq, ws AS window_start_epoch,
+       dname AS dim_name, val AS dim_value,
+       floor(oc/tout*10000 + 0.5)/10000 AS support,
+       oc AS num_records,
+       CASE WHEN isinf(cr) THEN NULL
+            ELSE floor(cr*10000 + 0.5)/10000 END AS ratio_to_inliers,
+       CAST(2 AS BIGINT) AS n_dims
+FROM pout
+UNION ALL
+SELECT T AS seq, ws AS window_start_epoch,
+       dname AS dim_name, val AS dim_value,
+       floor(oc/tout*10000 + 0.5)/10000 AS support,
+       oc AS num_records,
+       CASE WHEN isinf(cr) THEN NULL
+            ELSE floor(cr*10000 + 0.5)/10000 END AS ratio_to_inliers,
+       CAST(1 AS BIGINT) AS n_dims
+FROM scored
+WHERE cr > 0.0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_simple_contributors(spark, "/root/testdata/sf0.001")
@@ -1529,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macrobase_summaries": q_macrobase_summaries,
         "macrobase_summaries_single": q_macrobase_summaries_single,
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
+        "macrobase_summaries_pairs": q_macrobase_summaries_pairs,
         "hstrees_alerts": q_hstrees_alerts,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2193,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "macrobase_summaries_multiattr": _macrobase_summaries_single_oracle_sql(
             multi_attr=True, min_support=1 / 32
         ),
+        "macrobase_summaries_pairs": _macrobase_summaries_pairs_oracle_sql(),
         "hstrees_alerts": _hstrees_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

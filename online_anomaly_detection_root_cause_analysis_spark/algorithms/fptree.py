@@ -11,7 +11,8 @@ HashMap/HashSet entry sets (arbitrary order), this port iterates dicts
 in insertion order and iterates input item-sets in sorted order, which
 is deterministic run-to-run; golden counts from the reference's own
 tests (7/6 itemsets, FP-paper 625/797 — StreamingFPGrowthTest.scala)
-are order-insensitive and reproduced in tests/test_fptree.py.
+are order-insensitive and reproduced in tests/test_algorithms.py
+(test_fp_from_paper, the 625/797 block at :203).
 
 Quirk kept: `decayAndResetFrequentItems` assigns the *same* counts map
 object into the tree (StreamingFPGrowth.scala:57), and the summarizer

@@ -60,6 +60,13 @@ def with_offset_baseline_old(window_totals: DataFrame, n: int = 10) -> DataFrame
     (sums both currents) but unreachable at the reference's
     parallelism-1 count window — not reproduced.
 
+    Documented micro-deviation (ADVICE r4): for the first buffer row
+    (count 1) the reference's getResult computes baseline/records =
+    0/0 = NaN and still emits; this port (and its DuckDB oracle)
+    renders that degenerate first-row baseline as NULL instead —
+    the `F.when(_cnt > 1, ...)` guard below. Also listed in
+    COVERAGE.md's deviations table.
+
     Same single ordering window as `with_offset_baseline`; one
     pre-aggregated row per window flows through it."""
     order = Window.orderBy("window_start")

@@ -285,7 +285,11 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
     'data' (frame count = data size // block align). Returns None on a
     non-WAV magic, truncated header, or degenerate fmt values
     (channels/rate/block_align <= 0 — same validate-before-use
-    discipline as _safe_dims, ADVICE r3)."""
+    discipline as _safe_dims, ADVICE r3). The declared 'data' chunk
+    size is clamped to the bytes actually present after the chunk
+    header (ADVICE r4): a truncated or lying header (e.g. size
+    0xFFFFFFFF in a 100-byte file) counts only real frames instead of
+    inflating n_frames/duration_ms."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -302,7 +306,7 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
             )
             fmt = (channels, sample_rate, block_align, bits)
         elif cid == b"data":
-            data_size = size
+            data_size = min(size, n - i - 8)
         i += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data_size is None:
         return None

@@ -435,12 +435,21 @@ def rows_to_windows(
     the optional parent_name/parent_value columns
     (long_form_window_aggs(with_hierarchy=True)); empty when absent.
     The parent Dimension carries the child's group and level-1, same
-    construction as the config-derived path."""
+    construction as the config-derived path.
+
+    Rows WITHIN a window are ordered by (dim_name, dim_value), not by
+    upstream arrival order (r5): Spark gives no ordering guarantee on
+    the rows applyInPandas receives, and the MacroBase summarizer's
+    AMC/encoder insertion order (hence the FP-trees' count-tie
+    ordering) follows breakdown insertion order — without this sort
+    the tail's output could vary with partitioning at count ties."""
     import numpy as np
 
     if len(pdf) == 0:
         return
-    pdf = pdf.sort_values("window_start_epoch", kind="mergesort")
+    pdf = pdf.sort_values(
+        ["window_start_epoch", "dim_name", "dim_value"], kind="mergesort"
+    )
     ws_arr = pdf["window_start_epoch"].to_numpy()
     names = pdf["dim_name"].to_numpy()
     values = pdf["dim_value"].to_numpy()

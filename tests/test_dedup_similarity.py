@@ -570,6 +570,16 @@ def test_wav_header_parsing(spark):
     assert parse_wav_header(wav(0, 2, 16, b"abcd")) is None       # rate 0
     assert parse_wav_header(wav(8000, 0, 16, b"abcd")) is None    # 0 channels
 
+    # ADVICE r4: a lying 'data' size (0xFFFFFFFF declared, 8 real
+    # bytes) must be clamped to the bytes actually present — frames
+    # count real payload, not the declared size.
+    lying = wav(8000, 1, 16, b"ab" * 4)
+    lying = lying[: len(lying) - 8 - 4] + struct.pack("<I", 0xFFFFFFFF) + b"ab" * 4
+    assert parse_wav_header(lying) == (8000, 1, 16, 4)
+    # fully truncated data chunk (declared 100, zero bytes present)
+    hdr_only = wav(8000, 1, 16, b"x" * 100)[:-100]
+    assert parse_wav_header(hdr_only) == (8000, 1, 16, 0)
+
     rows = [
         (1, wav(44100, 2, 16, b"\x01\x02" * 441)),
         (2, b"plain text payload"),
