@@ -1065,6 +1065,144 @@ FROM emit, th
 """
 
 
+def q_macrobase_alerts_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MacroBase detector (VERDICT r4 #2): one INDEPENDENT
+    MAD-scorer + percentile-classifier per event_type, all in ONE
+    applyInPandas query — the multi-key generalization of the
+    reference's single-subtask keyBy(_=>0)
+    (EWAppxPercentileOutlierClassifier.scala:42). Same decay-free
+    operating point as q_macrobase_alerts (exact-prefix reservoir,
+    frozen warm-up threshold, warm-up flush quirk), replayed PER KEY:
+    every key carries its own reservoir, training cadence, threshold
+    freeze, and flush. Oracle: the macrobase_alerts MAD-replay CTE
+    chain partitioned by key (the same keyed lockstep discipline as
+    _zscore_by_key_oracle_sql). The heavy MacroBase tail is the one
+    whose keyed correctness matters at scale — BENCH/multikey.json
+    measures exactly this tail at 8 keys."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureSpec,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    records = _events(spark, sf_dir)
+    aggs = _q6_aggs(
+        long_form_window_aggs(records, events_config(), 1800, None, key="event_type")
+    )
+    tail = TailConfig(
+        mode="macrobase",
+        rca_mode="simple",
+        detector_spec=EWFeatureSpec(
+            warmup_count=_MB_WARMUP,
+            sample_size=1_000_000,
+            decay_period=1_000_000_000,
+            decay_rate=0.0,
+            training_period=_MB_TRAINING_PERIOD,
+            percentile=_MB_PERCENTILE,
+        ),
+    )
+    out = make_batch_tail(aggs, tail, key_col="tail_key")
+    return out.filter(F.col("row_type") == "alert").select(
+        F.col("tail_key").alias("event_type"),
+        "window_start_epoch",
+        _r4("current").alias("current"),
+        _r4("baseline").alias("baseline"),
+        "records_in_baseline_offset",
+        "is_outlier",
+        _r4("score").alias("score"),
+    )
+
+
+def _macrobase_alerts_by_key_oracle_sql(
+    warmup: int = _MB_WARMUP, percentile: float = _MB_PERCENTILE
+) -> str:
+    """Keyed twin of _macrobase_alerts_oracle_sql: every CTE carries
+    the key, window functions partition by it, and the warm-up flush /
+    frozen threshold resolve per key. A key with fewer than `warmup`
+    windows emits nothing (its classifier never flushes) — the
+    per-key flush join reproduces that by construction."""
+    w1 = warmup - 1
+    thr_idx1 = int(percentile * w1) + 1
+    med = (
+        "CASE WHEN {n} % 2 = 0 THEN ({L}[{n}//2] + {L}[{n}//2 + 1])/2.0 "
+        "ELSE {L}[{n}//2 + 1] END"
+    )
+    med_v = med.format(L="sl", n="n")
+    med_r = med.format(L="res", n="n")
+    return f"""
+WITH tot AS (
+  SELECT event_type AS kx,
+         CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws,
+         floor(sum(value)*1000000 + 0.5)/1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+ti AS (
+  SELECT kx, ws, v,
+         row_number() OVER (PARTITION BY kx ORDER BY ws) AS idx,
+         avg(v) OVER (PARTITION BY kx ORDER BY ws ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING) AS baseline,
+         count(v) OVER (PARTITION BY kx ORDER BY ws ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING) AS rbo
+  FROM tot
+),
+k AS (
+  SELECT kx, idx AS t,
+         greatest({w1}, CASE WHEN idx % 2 = 0 THEN idx - 1 ELSE idx - 2 END) AS kk
+  FROM ti
+),
+train AS (
+  SELECT k.kx, k.t, list(b.v ORDER BY b.idx) AS l
+  FROM k JOIN ti b ON b.kx = k.kx AND b.idx <= k.kk
+  GROUP BY k.kx, k.t
+),
+srt AS (SELECT kx, t, list_sort(l) AS sl, len(l) AS n FROM train),
+meds AS (SELECT kx, t, n, sl, {med_v} AS med FROM srt),
+resid AS (
+  SELECT kx, t, n, med,
+         list_sort(list_transform(sl, x -> abs(x - med))) AS res
+  FROM meds
+),
+mads AS (
+  SELECT kx, t, med,
+    CASE WHEN ({med_r}) = 0
+         THEN list_sum(res[CAST(floor(n*0.05) AS INT) + 1 : CAST(floor(n*0.95) AS INT)])
+              / (CAST(floor(n*0.95) AS INT) - CAST(floor(n*0.05) AS INT))
+         ELSE ({med_r})
+    END AS mad
+  FROM resid
+),
+sc AS (
+  SELECT ti.kx, ti.idx AS t, ti.ws, ti.v, ti.baseline, ti.rbo,
+         abs(ti.v - m.med)/m.mad AS s
+  FROM ti JOIN mads m ON m.kx = ti.kx AND m.t = ti.idx
+),
+th AS (
+  SELECT kx, list_sort(list(s ORDER BY t))[{thr_idx1}] AS thr
+  FROM sc WHERE t <= {w1} GROUP BY kx
+),
+wf AS (SELECT kx, ws, s FROM sc WHERE t = {warmup}),
+emit AS (
+  SELECT r.kx, w.ws AS window_start_epoch, r.v AS current, r.baseline,
+         r.rbo, w.s AS score
+  FROM sc r JOIN wf w ON w.kx = r.kx
+  WHERE r.t <= {warmup}
+  UNION ALL
+  SELECT kx, ws, v, baseline, rbo, s FROM sc WHERE t > {warmup}
+)
+SELECT e.kx AS event_type,
+       e.window_start_epoch,
+       floor(e.current*10000 + 0.5)/10000 AS current,
+       floor(e.baseline*10000 + 0.5)/10000 AS baseline,
+       CAST(e.rbo AS INT) AS records_in_baseline_offset,
+       (e.score > th.thr) AS is_outlier,
+       floor(e.score*10000 + 0.5)/10000 AS score
+FROM emit e JOIN th ON th.kx = e.kx
+"""
+
+
 # MacroBase SUMMARIZER at a decay-free, single-attribute operating
 # point (round 4 — closes the last `no_oracle` gap): with ONE
 # configured attribute the summarizer's FP-growth machinery is
@@ -1849,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_alerts": q_zscore_alerts,
         "zscore_alerts_by_key": q_zscore_alerts_by_key,
         "macrobase_alerts": q_macrobase_alerts,
+        "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
         "macrobase_summaries": q_macrobase_summaries,
         "macrobase_summaries_single": q_macrobase_summaries_single,
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
@@ -2513,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_alerts": _zscore_oracle_sql(),
         "zscore_alerts_by_key": _zscore_by_key_oracle_sql(),
         "macrobase_alerts": _macrobase_alerts_oracle_sql(),
+        "macrobase_alerts_by_key": _macrobase_alerts_by_key_oracle_sql(),
         "macrobase_summaries_single": _macrobase_summaries_single_oracle_sql(),
         "macrobase_summaries_multiattr": _macrobase_summaries_single_oracle_sql(
             multi_attr=True, min_support=1 / 32
