@@ -117,6 +117,26 @@ class StreamingFPTree:
         self._leaf_nodes: dict[int, FPTreeNode] = {}
         self._sorted_nodes: dict[int, FPTreeNode] = {}
 
+    def __getstate__(self) -> dict:
+        # id()-keyed dicts are meaningless after unpickling (object
+        # ids change), which silently corrupts the leaf/sorted
+        # membership checks and crashes sort_by_new_order on the first
+        # post-resume restructure (found by the r5 MacroBase resume
+        # soak). Serialize the ordered sets as node-reference LISTS
+        # (pickle's memo keeps them identical to the tree's own
+        # nodes) and re-key on load.
+        state = self.__dict__.copy()
+        state["_leaf_nodes"] = list(self._leaf_nodes.values())
+        state["_sorted_nodes"] = list(self._sorted_nodes.values())
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        leaves = state.pop("_leaf_nodes")
+        sorted_nodes = state.pop("_sorted_nodes")
+        self.__dict__.update(state)
+        self._leaf_nodes = {id(n): n for n in leaves}
+        self._sorted_nodes = {id(n): n for n in sorted_nodes}
+
     # --- ordered-set helpers -------------------------------------------------
     def _leaf_add(self, node: FPTreeNode) -> None:
         self._leaf_nodes[id(node)] = node

@@ -242,6 +242,39 @@ class TestStreamingFPGrowth:
         counts = fp.get_counts(targets)
         assert counts[0].count == 2
 
+    def test_pickle_roundtrip_mid_stream(self):
+        """Checkpoint-resume surface (r5): the tree's ordered node
+        sets are id()-keyed; a pickle round-trip must re-key them or
+        the first post-resume restructure crashes/corrupts (found by
+        test_checkpoint_resume_macrobase). Interleave stream + pickle
+        + decay cycles and assert behavior equals the never-pickled
+        twin."""
+        import pickle
+
+        rng = random.Random(7)
+        a, b = StreamingFPGrowth(0.05), StreamingFPGrowth(0.05)
+        frequent: dict[int, float] = {}
+        for cnt in range(200):
+            items = {rng.randrange(10) for _ in range(rng.randrange(1, 6))}
+            for i in items:
+                frequent[i] = frequent.get(i, 0.0) + 1
+            a.insert_transaction_false_negative(set(items))
+            b.insert_transaction_false_negative(set(items))
+            if cnt % 17 == 0:
+                b = pickle.loads(pickle.dumps(b))  # "kill + resume"
+                # resumed bookkeeping must match the uninterrupted twin
+                assert (
+                    sorted(n.item for n in b.fp._leaf_nodes.values())
+                    == sorted(n.item for n in a.fp._leaf_nodes.values())
+                )
+            if cnt % 25 == 0:
+                a.decay_and_reset_frequent_items(dict(frequent), 0.9)
+                b.decay_and_reset_frequent_items(dict(frequent), 0.9)
+        key = lambda iwc: (tuple(sorted(iwc.items)), round(iwc.count, 9))
+        assert sorted(map(key, a.get_itemsets())) == sorted(
+            map(key, b.get_itemsets())
+        )
+
 
 class TestHierarchicalImportance:
     """dimension_importance (the reference's per-level top-k fold,

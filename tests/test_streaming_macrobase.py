@@ -107,3 +107,100 @@ def test_streaming_macrobase_matches_replay(spark, tmp_path):
         for e in exp_rca
     )
     assert got_rca == want_rca
+
+
+def _macrobase_soak_tail() -> TailConfig:
+    """MacroBase detection x MacroBase RCA with SHORT decay/emission
+    periods so reservoir decay, AMC decay, FP-tree rebuilds, and
+    summary emissions all tick MANY times across each resume boundary
+    (gen 30 over ~234 windows -> ~7 emissions; update 25 -> ~9 decay
+    cycles)."""
+    return TailConfig(
+        mode="macrobase",
+        rca_mode="macrobase",
+        detector_spec=EWFeatureSpec(
+            warmup_count=20, sample_size=50, decay_period=40,
+            decay_rate=0.01, training_period=15, percentile=0.95,
+        ),
+        summarizer_spec=SummarizerSpec(
+            summary_update_period=25, decay_rate=0.01,
+            outlier_item_summary_size=500, inlier_item_summary_size=500,
+            min_oi_ratio=1, min_support=0.02,
+            attributes=[d.name for d in CFG.dimensions],
+            attribute_combinations=True, summary_generation_period=30,
+        ),
+    )
+
+
+def test_checkpoint_resume_macrobase(spark, tmp_path):
+    """MacroBase x MacroBase resume soak (VERDICT r4 #3): the pickled
+    tail state here is the engine's largest and most evolution-prone
+    (ADR reservoirs incl. RNG state, AMC sketches, TWO FP-trees, the
+    integer encoder). Kill + restart at TWO points — MID-WARM-UP
+    (before the classifier's first flush; asserted empty alerts) and
+    MID-STEADY-STATE (decay periods and summary emissions already
+    ticking) — and assert the doubly-resumed run's alert AND rca
+    tables equal one uninterrupted golden run, row-for-row."""
+    import pandas as pd
+
+    from .test_streaming import _norm_rows
+
+    pdf = generate_pages(PagesSpec(n_pages=2500)).sort_values("warc_ts")
+    ts0 = pdf["warc_ts"].min()
+    # ~10 min of event time = ~10-14 sliding windows < warmup_count=20
+    a = pdf[pdf["warc_ts"] < ts0 + pd.Timedelta(minutes=10)]
+    b = pdf[
+        (pdf["warc_ts"] >= ts0 + pd.Timedelta(minutes=10))
+        & (pdf["warc_ts"] < ts0 + pd.Timedelta(minutes=115))
+    ]
+    c = pdf[pdf["warc_ts"] >= ts0 + pd.Timedelta(minutes=115)]
+    assert len(a) and len(b) and len(c)
+
+    inc_path = tmp_path / "pages_inc"
+    inc_path.mkdir(parents=True)
+    tail = _macrobase_soak_tail()
+    work = str(tmp_path / "job_inc")
+
+    def run(pages_dir, work_dir):
+        job = StreamingJob(
+            work_dir=work_dir, cfg=CFG, tail=tail, size_s=300, slide_s=60,
+        )
+        stream = build_page_records(read_pages_stream(spark, str(pages_dir)), CFG)
+        q1 = job.start_aggregate_query(stream)
+        q1.processAllAvailable()
+        q1.stop()
+        q2 = job.start_detect_query(spark)
+        q2.processAllAvailable()
+        q2.stop()
+        return job
+
+    # leg 1: kill mid-warm-up — no classifier flush yet
+    _write_chunks(a, inc_path, 2, start_idx=0)
+    job = run(inc_path, work)
+    assert spark.read.parquet(job.alerts_dir).count() == 0
+
+    # leg 2: resume into steady state (warm-up flush + emissions)
+    _write_chunks(b, inc_path, 3, start_idx=2)
+    job = run(inc_path, work)
+    mid_alerts = spark.read.parquet(job.alerts_dir).count()
+    assert mid_alerts > 0
+
+    # leg 3: resume again mid-steady-state
+    _write_chunks(c, inc_path, 3, start_idx=5)
+    job = run(inc_path, work)
+
+    # golden: one uninterrupted run over all data
+    all_path = tmp_path / "pages_all"
+    all_path.mkdir(parents=True)
+    _write_chunks(pdf, all_path, 8)
+    gold = run(all_path, str(tmp_path / "job_gold"))
+
+    got_alerts = spark.read.parquet(job.alerts_dir)
+    want_alerts = spark.read.parquet(gold.alerts_dir)
+    assert want_alerts.count() > mid_alerts
+    assert _norm_rows(got_alerts) == _norm_rows(want_alerts)
+
+    got_rca = spark.read.parquet(job.rca_dir)
+    want_rca = spark.read.parquet(gold.rca_dir)
+    assert want_rca.count() > 0  # the summarizer actually emitted
+    assert _norm_rows(got_rca) == _norm_rows(want_rca)
