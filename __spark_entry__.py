@@ -478,32 +478,72 @@ FROM pairs WHERE cosine >= 0.9
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over SYNTHETIC PNG payloads (VERDICT r2 #7):
-    each document becomes a binary payload with a real PNG magic +
-    IHDR header (width = doc_id%500+1, height = doc_id%300+1, both
-    big-endian u32 at offsets 16/20) followed by the utf-8 text bytes.
-    The engine's width/height come from the HEADER PARSER
-    (operators/multimodal.py::parse_image_header) reading those bytes
-    — the oracle recomputes the dimensions from doc_id independently.
-    n_bytes covers the binary construction; content_sha gates the text
-    content (DuckDB's sha256 is VARCHAR-only, so the full-payload sha
-    is not SQL-reproducible for non-UTF8 binary); mean_byte (fake
-    pixel decode) is omitted from the compared output."""
+    """Multimodal plumbing over a MIXED synthetic image corpus
+    (VERDICT r2 #7; r5 widens it per VERDICT r4 #6): each document
+    becomes a binary payload carrying one of the three real magics —
+    doc_id%4 routes to PNG (IHDR big-endian u32 dims at offset 16),
+    GIF89a (little-endian u16 dims at offset 6), baseline JPEG (APP0
+    segment to skip, then SOF0 with big-endian u16 height/width), or
+    JPEG with two 0xFF FILL BYTES before the SOF marker (the ITU
+    T.81 §B.1.1.2 padding branch of the parser) — followed by the
+    utf-8 text bytes. width = doc_id%500+1 and height = doc_id%300+1
+    in EVERY format, so the oracle recomputes both dims from doc_id
+    independently of the header bytes the engine parses
+    (operators/multimodal.py::parse_image_header). n_bytes covers the
+    per-format binary construction; content_sha gates the text content
+    (DuckDB's sha256 is VARCHAR-only, so the full-payload sha is not
+    SQL-reproducible for non-UTF8 binary); mean_byte (fake pixel
+    decode) is omitted from the compared output."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = (F.col("doc_id") % 500 + 1).cast("int")
     h = (F.col("doc_id") % 300 + 1).cast("int")
+    text_bytes = F.encode("text", "utf-8")
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))
     png_payload = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # magic+len+IHDR
         F.unhex(F.lpad(F.hex(w), 8, "0")),
         F.unhex(F.lpad(F.hex(h), 8, "0")),
         F.unhex(F.lit("0806000000")),  # bit depth / color type / etc
-        F.encode("text", "utf-8"),
+        text_bytes,
+    )  # 29-byte header
+    gif_payload = F.concat(
+        F.encode(F.lit("GIF89a"), "utf-8"),
+        _le_bytes(w, 2),
+        _le_bytes(h, 2),
+        text_bytes,
+    )  # 10-byte header
+    jpeg_payload = F.concat(
+        F.unhex(F.lit("FFD8")),            # SOI
+        F.unhex(F.lit("FFE000042020")),    # APP0 segment (len 4) to skip
+        F.unhex(F.lit("FFC0001108")),      # SOF0, seg len, precision
+        be16(h),
+        be16(w),
+        text_bytes,
+    )  # 17-byte header
+    jpeg_padded_payload = F.concat(
+        F.unhex(F.lit("FFD8")),
+        F.unhex(F.lit("FFFFFFC0001108")),  # two 0xFF fills, then SOF0
+        be16(h),
+        be16(w),
+        text_bytes,
+    )  # 13-byte header
+    branch = F.col("doc_id") % 4
+    payload = (
+        F.when(branch == 0, png_payload)
+        .when(branch == 1, gif_payload)
+        .when(branch == 2, jpeg_payload)
+        .otherwise(jpeg_padded_payload)
+    )
+    mime = (
+        F.when(branch == 0, F.lit("image/png"))
+        .when(branch == 1, F.lit("image/gif"))
+        .otherwise(F.lit("image/jpeg"))
     )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        png_payload.alias("payload"),
-        F.lit("image/png").alias("mime"),
+        payload.alias("payload"),
+        mime.alias("mime"),
         F.lit(None).cast("string").alias("source_url"),
         F.lit(None).cast("timestamp").alias("captured_ts"),
     )
@@ -2334,7 +2374,11 @@ FROM r WHERE rank <= 10
 # engine's come from parsing the actual header bytes
 _MEDIA_SQL = """
 SELECT doc_id AS media_id,
-       29 + octet_length(encode(text)) AS n_bytes,
+       CASE doc_id % 4 WHEN 0 THEN 29   -- PNG magic+IHDR
+            WHEN 1 THEN 10              -- GIF89a logical screen
+            WHEN 2 THEN 17              -- JPEG SOI+APP0+SOF0
+            ELSE 13 END                 -- JPEG SOI+2 fill bytes+SOF0
+       + octet_length(encode(text)) AS n_bytes,
        CAST(doc_id % 500 + 1 AS INTEGER) AS width,
        CAST(doc_id % 300 + 1 AS INTEGER) AS height,
        sha256(text) AS content_sha

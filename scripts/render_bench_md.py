@@ -187,6 +187,21 @@ Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
         for name, reason in excluded.items():
             parts.append(f"- `{name}`: {reason}\n")
 
+    # the data-dependent-hierarchy price, stated explicitly (r3 #8):
+    # one extra aggregation over a strict subset of the breakdown keys
+    # plus two equi-joins, so the expected overhead is small — quote
+    # the measured delta either way (it is often inside run noise)
+    if "hierarchical_contributors" in q and "hierarchical_contributors_cooc" in q:
+        hc, hcc = q["hierarchical_contributors"], q["hierarchical_contributors_cooc"]
+        d = hcc - hc
+        parts.append(
+            f"**Co-occurrence hierarchy price:** resolving parents from "
+            f"per-window co-occurrence pairs instead of a derivable "
+            f"function costs {d:+.2f} s on this run "
+            f"(`hierarchical_contributors` {hc:.2f} s -> `_cooc` {hcc:.2f} s"
+            f"{'; the delta is inside the measured 25-35% co-tenancy noise — the extra aggregation + two equi-joins are effectively free at this scale' if abs(d) < 0.25 * hc else ''}).\n"
+        )
+
     # round-over-round: compare against the newest driver bench artifact
     # that isn't the rendering source
     prev_file = _latest("BENCH_r*.json")
