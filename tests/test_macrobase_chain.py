@@ -144,3 +144,135 @@ def test_macrobase_spark_wrapper(spark):
         (r["summary_id"], r["num_records"], r["dim_name"], r["dim_value"]) for r in pure
     )
     assert spark_set == pure_set
+
+
+def test_pairs_gate_operating_point_precondition():
+    """Operating-point precondition for `macrobase_summaries_pairs`
+    (r5): at dominant-value 2-item transactions over the STRATIFIED
+    (event_type, user_parity) attribute pair with per-tuple
+    interesting refresh, the FP-trees' pair supports must equal the
+    closed-form first-outlier-occurrence-gated pair counts the DuckDB
+    oracle computes. (With a non-stratified attribute pair, count
+    crossings leave stale paths getSupport misses — see the query
+    docstring.) Pure-Python over the sf0.001 driver fixture: replay
+    the detector for flags, feed the summarizer, compare EVERY pair
+    emission against the model."""
+    import duckdb
+
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewpercentile import (
+        EWAppxPercentileAuxiliary,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
+        EWFeatureTransform,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.models import (
+        AggregatedRecordsWBaseline,
+        AnomalyEvent,
+        Dimension,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
+        ExponentiallyDecayingEmergingItemsets,
+    )
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    seq_rows = duck.execute("""
+        WITH tot AS (
+          SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws,
+                 floor(sum(value)*1000000 + 0.5)/1000000 AS v
+          FROM events GROUP BY 1
+        ),
+        ti AS (SELECT ws, v, row_number() OVER (ORDER BY ws) AS t FROM tot),
+        doms AS (
+          SELECT ws, dname, val FROM (
+            SELECT ws, dname, val,
+                   row_number() OVER (PARTITION BY ws, dname ORDER BY s DESC, val) AS rn
+            FROM (
+              SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS ws,
+                     'event_type' AS dname, event_type AS val,
+                     floor(sum(value)*1000000 + 0.5)/1000000 AS s
+              FROM events GROUP BY 1, 3
+              UNION ALL
+              SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT),
+                     'user_parity', CAST(user_id % 2 AS VARCHAR),
+                     floor(sum(value)*1000000 + 0.5)/1000000
+              FROM events GROUP BY 1, 3
+            )
+          ) WHERE rn = 1
+        )
+        SELECT ti.t, ti.v,
+               max(CASE WHEN d.dname='event_type' THEN d.val END) AS v1,
+               max(CASE WHEN d.dname='user_parity' THEN d.val END) AS v2
+        FROM ti JOIN doms d ON d.ws = ti.ws
+        GROUP BY 1, 2 ORDER BY 1
+    """).fetchall()
+
+    spec = EWFeatureSpec(
+        warmup_count=4, sample_size=1_000_000, decay_period=1_000_000_000,
+        decay_rate=0.0, training_period=1, percentile=0.5,
+    )
+    scorer, classifier = EWFeatureTransform(spec), EWAppxPercentileAuxiliary(spec)
+    summ = ExponentiallyDecayingEmergingItemsets(
+        inlier_summary_size=1000, outlier_summary_size=1000,
+        min_support_outlier=0.0, min_ratio=0.0, exponential_decay_rate=0.0,
+        attribute_dimension=2, combinations_enabled=True,
+        summary_update_period=0, summarization_time=24,
+    )
+    flags: dict[int, bool] = {}
+    emitted: dict[int, list] = {}
+    items = {t: (v1, v2) for t, _v, v1, v2 in seq_rows}
+    # the classifier flushes records in tuple order, so the k-th
+    # emitted event is window k's — replay detector + summarizer
+    n_tuple = 0
+    for t, v, v1, v2 in seq_rows:
+        rec = AggregatedRecordsWBaseline(
+            current=v, baseline=0.0,
+            current_dimensions_breakdown={
+                Dimension("event_type", v1, "type", 1): 1.0,
+                Dimension("user_parity", v2, "user", 1): 1.0,
+            },
+            baseline_dimensions_breakdown={}, dimensions_hierarchy={},
+            records_in_baseline_offset=0,
+        )
+        for r1, score in scorer.process(rec, v):
+            for r2, is_outlier in classifier.process(r1, score):
+                n_tuple += 1
+                flags[n_tuple] = bool(is_outlier)
+                ev = AnomalyEvent(
+                    anomaly_id=str(n_tuple), detected_at=n_tuple, epoch=0,
+                    record=r2, is_outlier=bool(is_outlier),
+                )
+                for res in summ.process(ev):
+                    emitted.setdefault(n_tuple, []).append(res)
+
+    assert any(flags.values()) and not all(flags.values())
+
+    fo: dict[tuple, int] = {}
+    for t in sorted(flags):
+        if flags[t]:
+            v1, v2 = items[t]
+            fo.setdefault(("event_type", v1), t)
+            fo.setdefault(("user_parity", v2), t)
+
+    n_pairs_checked = 0
+    for T, results in emitted.items():
+        model: dict[tuple, int] = {}
+        for t in sorted(items):
+            if t >= T:
+                break
+            v1, v2 = items[t]
+            a, b = ("event_type", v1), ("user_parity", v2)
+            if a in fo and b in fo and fo[a] < t and fo[b] < t and flags[t]:
+                model[(v1, v2)] = model.get((v1, v2), 0) + 1
+        for res in results:
+            if len(res.dimension_summaries) != 2:
+                continue
+            kv = {d.dimension.name: d.dimension.value
+                  for d in res.dimension_summaries}
+            key = (kv["event_type"], kv["user_parity"])
+            assert model.get(key) == res.num_records, (T, key, res.num_records)
+            n_pairs_checked += 1
+    assert n_pairs_checked > 50  # the branch under test actually fired
