@@ -202,10 +202,23 @@ Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
             f"{'; the delta is inside the measured 25-35% co-tenancy noise — the extra aggregation + two equi-joins are effectively free at this scale' if abs(d) < 0.25 * hc else ''}).\n"
         )
 
-    # round-over-round: compare against the newest driver bench artifact
-    # that isn't the rendering source
-    prev_file = _latest("BENCH_r*.json")
-    if prev_file and os.path.basename(prev_file) != bench_src:
+    # round-over-round: compare against the newest PARSEABLE driver
+    # bench artifact that isn't the rendering source (r4's driver
+    # artifact has parsed=null from the tail-truncation bug bench.py
+    # now guards against — fall back past it)
+    candidates = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda f: -(int(re.search(r"_r(\d+)\.json$", f).group(1))),
+    )
+    prev_file = next(
+        (
+            f for f in candidates
+            if os.path.basename(f) != bench_src
+            and (_load(f) or {}).get("parsed")
+        ),
+        None,
+    )
+    if prev_file:
         prev = (_load(prev_file) or {}).get("parsed")
         if prev and prev.get("queries"):
             pq = prev["queries"]
