@@ -347,6 +347,32 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate 2-/3-gram fractions (Gopher /
+    RefinedWeb repetition-removal signals) — JVM higher-order-function
+    n-grams, one explode + one (doc, n, gram) shuffle with map-side
+    partial counts (operators/textstats.py::document_repetition_ratios)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        document_repetition_ratios,
+    )
+
+    return document_repetition_ratios(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (word-count bounds, mean
+    word length bounds, distinct-stopword minimum) — pure map-side JVM
+    column math, no shuffle
+    (operators/textstats.py::gopher_quality_filter)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        gopher_quality_filter,
+    )
+
+    return gopher_quality_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -2039,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
+        "repetition_ratios": q_repetition_ratios,
+        "quality_filter": q_quality_filter,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
@@ -2323,6 +2351,57 @@ FROM pairs WHERE hamming <= {max_hamming}
 
 
 _STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                               i -> array_to_string(ws[i:i+1], ' '))) AS gram
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> array_to_string(ws[i:i+2], ' ')))
+  FROM w
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+f AS (
+  SELECT doc_id, n,
+         (CAST(sum(c) AS DOUBLE)
+          - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE))
+         / CAST(sum(c) AS DOUBLE) AS frac
+  FROM c GROUP BY 1, 2
+)
+SELECT w.doc_id,
+       len(w.ws) AS word_count,
+       floor(max(CASE WHEN f.n = 2 THEN f.frac END) * 1000000 + 0.5)/1000000 AS dup2_frac,
+       floor(max(CASE WHEN f.n = 3 THEN f.frac END) * 1000000 + 0.5)/1000000 AS dup3_frac
+FROM w LEFT JOIN f ON f.doc_id = w.doc_id
+GROUP BY 1, 2
+"""
+
+_QUALITY_FILTER_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+r AS (
+  SELECT doc_id,
+         len(ws) AS word_count,
+         CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+           / len(ws) AS mean_len,
+         len(list_intersect(ws, ['the', 'a', 'an', 'and', 'or'])) AS n_stop
+  FROM w
+)
+SELECT doc_id, word_count,
+       floor(mean_len*1000000 + 0.5)/1000000 AS mean_word_len,
+       n_stop AS n_stopwords,
+       (word_count >= 40 AND word_count <= 100000) AS rule_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_mean_len,
+       (n_stop >= 2) AS rule_stopwords,
+       ((word_count >= 40 AND word_count <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND n_stop >= 2) AS passes
+FROM r
+"""
 
 _TEXT_STATS_SQL = f"""
 WITH base AS (
@@ -2713,6 +2792,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_oracle_sql(),
         "fingerprints": _FINGERPRINTS_SQL,
         "text_stats": _TEXT_STATS_SQL,
+        "repetition_ratios": _REPETITION_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

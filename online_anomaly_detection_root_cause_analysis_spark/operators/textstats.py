@@ -44,3 +44,118 @@ def document_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str =
         content_fingerprint_col(F.col(text_col)).alias("fingerprint"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
     )
+
+
+def document_repetition_ratios(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document duplicate n-gram fractions — the repetition
+    signals a webtext training pipeline filters on (Gopher §A1.1 /
+    RefinedWeb "repetition removal"): for each n, the fraction of
+    n-gram OCCURRENCES that belong to an n-gram appearing more than
+    once in the document, dup{n}_frac = (total_n - singletons_n) /
+    total_n.
+
+    Spark-first: n-gram construction is pure JVM higher-order
+    functions (transform over sequence + slice — no Python), all
+    configured n ride ONE explode and ONE shuffle keyed
+    (doc_id, n, gram) with map-side partial counts; the per-document
+    rollup is a second tiny aggregation on doc_id. At 100 TB the
+    shuffle cardinality is bounded by corpus token count and has no
+    hot keys beyond document length."""
+    words = F.split(F.col(text_col), " ")
+
+    def _gram_fn(n):
+        # NOTE: must be a ONE-arg lambda — F.transform dispatches on
+        # the lambda's arity, so `lambda i, n=n:` would be read as the
+        # (element, index) binary form and bind n to the array index
+        return lambda i: F.concat_ws(" ", F.slice(words, i, n))
+
+    per_n = []
+    for n in ns:
+        g = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)), _gram_fn(n)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        per_n.append(F.struct(F.lit(n).alias("n"), g.alias("grams")))
+    exploded = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array(*per_n)).alias("s"))
+        .select("doc_id", F.col("s.n").alias("n"), F.explode("s.grams").alias("gram"))
+    )
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    fracs = counts.groupBy("doc_id", "n").agg(
+        (
+            (F.sum("c") - F.sum(F.when(F.col("c") == 1, 1).otherwise(0)))
+            / F.sum("c")
+        ).alias("frac")
+    )
+    wide = fracs.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("frac"))).alias(f"dup{n}_frac")
+            for n in ns
+        ]
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(words).cast("long").alias("word_count")
+    )
+    out = base.join(wide, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "word_count",
+        *[
+            (F.floor(F.col(f"dup{n}_frac") * 1e6 + 0.5) / 1e6).alias(f"dup{n}_frac")
+            for n in ns
+        ],
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    each exposed as its own boolean column plus the composite `passes`
+    — the canonical pre-training quality gate. Entirely map-side JVM
+    column math (split / aggregate / array_intersect): NO shuffle, so
+    at 100 TB this is a pure scan-rate-bound stage.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_len, max_mean_len]; at least min_stopwords DISTINCT
+    stopwords present (the Gopher "stop word" heuristic against
+    keyword-stuffing pages)."""
+    from ..functions.text import STOPWORDS
+
+    words = F.split(F.col(text_col), " ")
+    wc = F.size(words)
+    mean_len = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / wc
+    )
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS[:5]]))
+    )
+    rule_wc = (wc >= min_words) & (wc <= max_words)
+    rule_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    rule_stop = n_stop >= min_stopwords
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        wc.cast("long").alias("word_count"),
+        (F.floor(mean_len * 1e6 + 0.5) / 1e6).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        rule_wc.alias("rule_word_count"),
+        rule_len.alias("rule_mean_len"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_wc & rule_len & rule_stop).alias("passes"),
+    )

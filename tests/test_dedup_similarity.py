@@ -597,3 +597,47 @@ def test_wav_header_parsing(spark):
     r2 = out[2]
     assert r2.sample_rate is None and r2.n_frames is None  # honest NULL
     assert r2.n_bytes == len(b"plain text payload")
+
+
+def test_repetition_ratios_and_quality_filter(spark):
+    """r5 text-pipeline ops: duplicate n-gram fractions on constructed
+    docs with known answers (incl. the <n-words edge -> NULL frac and
+    the all-repeated pathological doc), and the Gopher-style rule
+    columns. Also pins the F.transform ARITY trap: gram lambdas must
+    be unary or `n` silently binds to the array index (caught r5)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        document_repetition_ratios,
+        gopher_quality_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),      # 2-grams: ab,ba,ab,bc -> dup 2/4
+            (1, "x x x x"),        # 2-grams: xx *3 -> dup 1.0; 3-grams: xxx *2 -> 1.0
+            (2, "one"),            # < 2 words -> NULL fracs
+            (3, "p q r s"),        # all unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in document_repetition_ratios(docs).collect()}
+    assert rows[0].word_count == 5 and abs(rows[0].dup2_frac - 0.5) < 1e-9
+    assert rows[0].dup3_frac == 0.0
+    assert rows[1].dup2_frac == 1.0 and rows[1].dup3_frac == 1.0
+    assert rows[2].dup2_frac is None and rows[2].dup3_frac is None
+    assert rows[3].dup2_frac == 0.0
+
+    q = spark.createDataFrame(
+        [
+            (0, " ".join(["the", "and"] + ["word"] * 50)),  # passes all
+            (1, " ".join(["the", "and"] + ["word"] * 5)),   # too short
+            (2, " ".join(["word"] * 50)),                   # no stopwords
+            (3, " ".join(["the", "and"] + ["w"] * 60)),     # mean len < 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_filter(q).collect()}
+    assert out[0].passes and out[0].rule_word_count and out[0].rule_stopwords
+    assert not out[1].passes and not out[1].rule_word_count
+    assert not out[2].passes and not out[2].rule_stopwords
+    assert not out[3].passes and not out[3].rule_mean_len
+    assert out[0].n_stopwords == 2
