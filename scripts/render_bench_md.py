@@ -69,6 +69,7 @@ def _repeat_note(scaling: dict) -> str:
         for label, key in (
             ("2026-08-16 first", "earlier_run"),
             ("2026-08-16 second (r3 primary)", "r3_primary_run"),
+            ("2026-08-16/17 (r4 primary)", "r4_primary_run"),
         )
         if key in rn
     ]
