@@ -373,6 +373,39 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75}
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 — explode -> map-side partial count ->
+    one word shuffle -> TakeOrdered(k) with deterministic (count desc,
+    word asc) ties (operators/textstats.py::corpus_vocabulary)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        corpus_vocabulary,
+    )
+
+    return corpus_vocabulary(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), top_k=100
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-based per-language sampling (the data-mixing
+    stage): membership = sha60('doc-<id>') mod 10000 < rate[lang] *
+    10000 — idempotent under task retries, zero shuffle; zh exercises
+    the default-rate branch
+    (operators/textstats.py::deterministic_stratified_sample)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        deterministic_stratified_sample,
+    )
+
+    return deterministic_stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        rates=_SAMPLE_RATES,
+        default_rate=0.1,
+    )
+
+
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -2067,6 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "repetition_ratios": q_repetition_ratios,
         "quality_filter": q_quality_filter,
+        "vocabulary": q_vocabulary,
+        "stratified_sample": q_stratified_sample,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
@@ -2380,6 +2415,31 @@ SELECT w.doc_id,
 FROM w LEFT JOIN f ON f.doc_id = w.doc_id
 GROUP BY 1, 2
 """
+
+_VOCAB_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n
+FROM c ORDER BY n DESC, word LIMIT 100
+"""
+
+
+def _stratified_sample_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate!r}" for lang, rate in sorted(_SAMPLE_RATES.items())
+    )
+    key = _sha60("'doc-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {key} % 10000 AS sample_bucket,
+         CAST(floor((CASE lang {cases} ELSE 0.1 END) * 10000) AS BIGINT) AS keep_below
+  FROM documents
+)
+SELECT doc_id, lang, sample_bucket, keep_below
+FROM b WHERE sample_bucket < keep_below
+"""
+
 
 _QUALITY_FILTER_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -2794,6 +2854,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "repetition_ratios": _REPETITION_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
+        "vocabulary": _VOCAB_SQL,
+        "stratified_sample": _stratified_sample_oracle_sql(),
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

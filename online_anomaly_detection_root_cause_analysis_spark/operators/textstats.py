@@ -159,3 +159,59 @@ def gopher_quality_filter(
         rule_stop.alias("rule_stopwords"),
         (rule_wc & rule_len & rule_stop).alias("passes"),
     )
+
+
+def corpus_vocabulary(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word frequencies, top-k — the vocabulary-building
+    stage of a tokenizer/training pipeline, and the canonical
+    word-count shape at 100 TB: explode -> partial (map-side) count ->
+    one shuffle on the word -> global TakeOrdered of k rows (Spark
+    turns orderBy+limit into a per-partition top-k + tiny driver
+    merge — no full sort materializes). Ties break deterministically
+    by (count desc, word asc)."""
+    words = F.explode(F.split(F.col(text_col), " ")).alias("word")
+    counts = docs.select(words).groupBy("word").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(top_k)
+    from pyspark.sql import Window as W
+
+    rank = W.orderBy(F.desc("n"), F.asc("word"))
+    return top.select(
+        F.row_number().over(rank).alias("rank"), "word", F.col("n").alias("n")
+    )
+
+
+def deterministic_stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible per-language sampling — the "data mixing" stage of
+    a pre-training pipeline: keep a document iff
+    sha60("doc-<id>") mod 10000 < rate[lang] * 10000. Hash-based (not
+    rand()) so the SAME subset comes out on every run, every retry,
+    and every engine — the property that makes a 100-TB mixing job
+    idempotent under task retries and lets the DuckDB oracle recompute
+    membership exactly. Pure map-side column math: no shuffle, fully
+    partition-parallel, and the decision depends only on the row."""
+    from ..functions.text import sha60_col
+
+    key = F.concat(F.lit("doc-"), F.col(id_col).cast("string"))
+    bucket = F.pmod(sha60_col(key), F.lit(10000))
+    rate = F.lit(float(default_rate))
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col(lang_col) == lang, F.lit(float(r))).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            bucket.cast("long").alias("sample_bucket"),
+            (F.floor(rate * 10000)).cast("long").alias("keep_below"),
+        )
+        .filter(F.col("sample_bucket") < F.col("keep_below"))
+    )
