@@ -376,6 +376,40 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75}
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition — the pipeline a webtext user
+    actually runs, in ONE Catalyst plan: Gopher quality gate (map-side)
+    -> exact dedup survivor selection (one sha256 shuffle, keep the
+    min-doc_id representative) -> deterministic stratified sampling
+    (map-side). Demonstrates the operators compose without
+    materialization barriers; output is the final kept set with its
+    sampling evidence."""
+    from pyspark.sql import Window as W
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        deterministic_stratified_sample,
+        gopher_quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    passed = docs.join(
+        gopher_quality_filter(docs).filter(F.col("passes")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    h = passed.select(
+        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("_h")
+    )
+    kept = (
+        h.withColumn("_mn", F.min("doc_id").over(W.partitionBy("_h")))
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .select("doc_id", "lang")
+    )
+    return deterministic_stratified_sample(
+        kept, rates=_SAMPLE_RATES, default_rate=0.1
+    )
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 — explode -> map-side partial count ->
     one word shuffle -> TakeOrdered(k) with deterministic (count desc,
@@ -2102,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "vocabulary": q_vocabulary,
         "stratified_sample": q_stratified_sample,
+        "curation_pipeline": q_curation_pipeline,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
@@ -2435,6 +2470,37 @@ WITH b AS (
          {key} % 10000 AS sample_bucket,
          CAST(floor((CASE lang {cases} ELSE 0.1 END) * 10000) AS BIGINT) AS keep_below
   FROM documents
+)
+SELECT doc_id, lang, sample_bucket, keep_below
+FROM b WHERE sample_bucket < keep_below
+"""
+
+
+def _curation_pipeline_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate!r}" for lang, rate in sorted(_SAMPLE_RATES.items())
+    )
+    key = _sha60("'doc-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+q AS (
+  SELECT doc_id, lang, text FROM w
+  WHERE len(ws) BETWEEN 40 AND 100000
+    AND CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+        / len(ws) BETWEEN 3.0 AND 10.0
+    AND len(list_intersect(ws, ['the', 'a', 'an', 'and', 'or'])) >= 2
+),
+d AS (
+  SELECT doc_id, lang,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS mn
+  FROM q
+),
+k AS (SELECT doc_id, lang FROM d WHERE doc_id = mn),
+b AS (
+  SELECT doc_id, lang,
+         {key} % 10000 AS sample_bucket,
+         CAST(floor((CASE lang {cases} ELSE 0.1 END) * 10000) AS BIGINT) AS keep_below
+  FROM k
 )
 SELECT doc_id, lang, sample_bucket, keep_below
 FROM b WHERE sample_bucket < keep_below
@@ -2856,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _QUALITY_FILTER_SQL,
         "vocabulary": _VOCAB_SQL,
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "curation_pipeline": _curation_pipeline_oracle_sql(),
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle
