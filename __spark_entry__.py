@@ -334,6 +334,22 @@ def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup CLUSTERING: connected components over the verified
+    near-dup pair graph via iterative min-label propagation (one
+    vertex join + one aggregation per round, O(diameter) rounds — the
+    step that picks one representative per transitive dup cluster).
+    Oracle: DuckDB recursive reachability CTE computing min reachable
+    id per vertex, singletons from the corpus complement."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = near_duplicates(corpus, n=3, threshold=0.3, bands=32)
+    return near_dup_clusters(pairs, all_docs=corpus)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return document_text_stats(docs)
@@ -2129,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
+        "near_dup_clusters": q_near_dup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -2286,6 +2303,31 @@ SELECT doc_a, doc_b, n_common, x.n AS n_a, y.n AS n_b,
 FROM c JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
 WHERE n_common*1.0/(x.n + y.n - n_common) >= 0.3
 """
+
+_NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE corpus AS ({_DOC_CORPUS_SQL}),
+np AS (SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_SQL})),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM np
+  UNION
+  SELECT doc_b, doc_a FROM np
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+labels AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+  FROM reach GROUP BY s
+)
+SELECT doc_id, cluster_rep FROM labels
+UNION ALL
+SELECT c.doc_id, c.doc_id AS cluster_rep
+FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+WHERE l.doc_id IS NULL
+"""
+
 
 # sha60: DuckDB twin of functions/text.py sha60_col (first 15 hex
 # chars of sha256, parsed base-16 — 60 bits, always in BIGINT range)
@@ -2913,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         # near_duplicates (LSH candidates -> exact verify) must find
         # exactly the corpus-wide exact pair set
         "near_duplicates": _NGRAM_JACCARD_SQL,
+        "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "language_id": _language_id_oracle_sql(),

@@ -641,3 +641,32 @@ def test_repetition_ratios_and_quality_filter(spark):
     assert not out[2].passes and not out[2].rule_stopwords
     assert not out[3].passes and not out[3].rule_mean_len
     assert out[0].n_stopwords == 2
+
+
+def test_near_dup_clusters_constructed_graph(spark):
+    """Connected components on constructed shapes: a 3-chain (pairs
+    only link transitively), a triangle, an isolated pair, and an
+    unpaired doc surfacing as its own singleton cluster."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),          # chain: {1,2,3} -> rep 1
+            (10, 11), (11, 12), (10, 12),  # triangle -> rep 10
+            (20, 21),                # pair -> rep 20
+        ],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 99]],
+                                 "doc_id long")
+    out = {r.doc_id: r.cluster_rep for r in near_dup_clusters(pairs, all_docs=docs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+    # long chain exercises multi-round propagation (diameter 6)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 106)], "doc_a long, doc_b long"
+    )
+    out2 = {r.doc_id: r.cluster_rep for r in near_dup_clusters(chain).collect()}
+    assert set(out2.values()) == {100} and len(out2) == 7
