@@ -156,6 +156,12 @@ def main() -> None:
         "watermark span",
     )
     ap.add_argument(
+        "--pre-filter", default=None,
+        help="SQL boolean expression over record columns applied "
+        "BEFORE dedup/watermark/aggregation (the streaming quality "
+        "gate, e.g. \"value > 0\"); stateless map-side filter",
+    )
+    ap.add_argument(
         "--hierarchy-from-data", action="store_true",
         help="resolve hierarchical-RCA parent values from per-window "
         "co-occurrence (parent = independent record field) instead of "
@@ -173,6 +179,7 @@ def main() -> None:
         size_s=args.window, slide_s=args.slide, watermark=args.watermark,
         with_hierarchy=args.hierarchy_from_data, key=args.key,
         dedup_col=args.dedup_col,
+        pre_filter=args.pre_filter,
     )
     stream = build_page_records(
         read_pages_stream(spark, args.input, args.max_files_per_trigger), cfg

@@ -165,6 +165,13 @@ class StreamingJob:
     # upstream of both stateful operators); state is bounded by one
     # watermark span of distinct keys
     dedup_col: str | None = None
+    # SQL boolean expression applied to records BEFORE dedup/watermark/
+    # aggregation (r5): the streaming twin of the batch quality gate —
+    # e.g. "value > 0" or a gopher-rule expression over record columns.
+    # Pure map-side (stateless), so it rides the source scan with zero
+    # extra stages and shrinks everything downstream (dedup state,
+    # shuffle volume, window totals)
+    pre_filter: str | None = None
 
     @property
     def aggs_dir(self) -> str:
@@ -183,8 +190,10 @@ class StreamingJob:
 
     def start_aggregate_query(self, records_stream: DataFrame):
         src, wm = records_stream, self.watermark
+        if self.pre_filter is not None:
+            src = src.filter(self.pre_filter)
         if self.dedup_col is not None and records_stream.isStreaming:
-            src = records_stream.withWatermark("ts", wm).dropDuplicatesWithinWatermark(
+            src = src.withWatermark("ts", wm).dropDuplicatesWithinWatermark(
                 [self.dedup_col]
             )
             wm = None  # already defined upstream of the dedup operator

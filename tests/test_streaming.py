@@ -731,3 +731,54 @@ def test_checkpoint_resume_hstrees(spark, tmp_path):
     want = spark.read.parquet(gold.alerts_dir)
     assert want.count() > 0
     assert _norm_rows(got) == _norm_rows(want)
+
+
+def test_streaming_job_pre_filter(spark, tmp_path):
+    """StreamingJob(pre_filter=...) — the streaming quality gate (r5):
+    a stateless record filter applied BEFORE dedup/watermark/
+    aggregation. Job over the duplicated stream with pre_filter +
+    url-dedup equals the no-dedup job over the clean stream filtered
+    externally — proving the filter sits upstream of the stateful
+    operators and composes with them."""
+    pdf = generate_pages(PagesSpec(n_pages=1500)).sort_values("warc_ts")
+    clean = pdf.drop_duplicates("url").reset_index(drop=True)
+
+    clean_path = tmp_path / "clean"
+    clean_path.mkdir()
+    _write_chunks(clean, clean_path, 6)
+
+    dup_path = tmp_path / "dup"
+    dup_path.mkdir()
+    chunk = (len(clean) + 5) // 6
+    idx = 0
+    for i in range(6):
+        part = clean.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            continue
+        _write_chunks(part, dup_path, 1, start_idx=idx)
+        _write_chunks(part, dup_path, 1, start_idx=idx + 1)
+        idx += 2
+
+    tail = TailConfig(mode="threshold", min_value=0, max_value=float("inf"))
+
+    def run(path, work, dedup_col, pre_filter, external_filter=None):
+        job = StreamingJob(
+            work_dir=str(tmp_path / work), cfg=CFG, tail=tail,
+            size_s=300, slide_s=60, watermark="30 minutes",
+            dedup_col=dedup_col, pre_filter=pre_filter,
+        )
+        stream = build_page_records(read_pages_stream(spark, str(path)), CFG)
+        if external_filter:
+            stream = stream.filter(external_filter)
+        q = job.start_aggregate_query(stream)
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(job.aggs_dir)
+
+    gated = run(dup_path, "gated_job", "url", "value >= 200")
+    baseline = run(clean_path, "ext_job", None, None, external_filter="value >= 200")
+    unfiltered = run(clean_path, "nofilter_job", None, None)
+    assert gated.count() > 0
+    assert _norm_rows(gated) == _norm_rows(baseline)
+    # and the gate actually removed records (totals differ)
+    assert _norm_rows(unfiltered) != _norm_rows(baseline)
