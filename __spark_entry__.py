@@ -426,6 +426,47 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with PLANTED identifiers (the
+    fixture text carries none): doc_id%3==0 gets an email appended,
+    %3==1 a phone-shaped number, %3==2 stays clean — so the gate sees
+    redactions firing, counts by type, and untouched docs. The oracle
+    replants identically from doc_id and re-runs the same RE2-safe
+    patterns (operators/textstats.py::redact_pii)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        redact_pii,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    branch = F.col("doc_id") % 3
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            branch == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com pls"),
+            ),
+        )
+        .when(
+            branch == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(planted)
+
+
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 — explode -> map-side partial count ->
     one word shuffle -> TakeOrdered(k) with deterministic (count desc,
@@ -2154,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "stratified_sample": q_stratified_sample,
         "curation_pipeline": q_curation_pipeline,
+        "pii_redaction": q_pii_redaction,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
@@ -2492,6 +2534,39 @@ SELECT w.doc_id,
 FROM w LEFT JOIN f ON f.doc_id = w.doc_id
 GROUP BY 1, 2
 """
+
+def _pii_redaction_oracle_sql() -> str:
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        EMAIL_RE,
+        PHONE_RE,
+    )
+
+    e, p = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com pls'
+           WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+           ELSE text
+         END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{e}')) AS n_emails,
+         len(regexp_extract_all(text, '{p}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+                        '{p}', '<PHONE>', 'g') AS r
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones,
+       sha256(r) AS redacted_sha,
+       length(r) AS redacted_len
+FROM red
+"""
+
 
 _VOCAB_SQL = """
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -2966,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary": _VOCAB_SQL,
         "stratified_sample": _stratified_sample_oracle_sql(),
         "curation_pipeline": _curation_pipeline_oracle_sql(),
+        "pii_redaction": _pii_redaction_oracle_sql(),
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

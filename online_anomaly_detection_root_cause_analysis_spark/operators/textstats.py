@@ -215,3 +215,37 @@ def deterministic_stratified_sample(
         )
         .filter(F.col("sample_bucket") < F.col("keep_below"))
     )
+
+
+# conservative PII patterns chosen for identical semantics under both
+# Java regex (Spark) and RE2 (DuckDB): character classes + bounded
+# quantifiers only — no backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — the redaction stage of a webtext pipeline:
+    emails and phone-shaped numbers replaced with typed placeholders,
+    with per-document match counts for audit. Pure JVM regexp column
+    ops (regexp_extract_all + regexp_replace), map-side, zero shuffle;
+    the patterns are deliberately backref/lookaround-free so engines
+    with RE2-class matchers (and the DuckDB oracle) agree byte-for-
+    byte. Emits the redacted text's sha256 + length rather than the
+    text itself (the gate checks the transformation, the pipeline
+    would write the redacted column)."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.sha2(red, 256).alias("redacted_sha"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
