@@ -242,3 +242,40 @@ def test_r4_queries_plan_shape(spark):
     assert "FlatMapGroupsInPandas" in mbs
     assert mbs.count("FlatMapGroupsInPandas (") == 1
     assert "BatchEvalPython" not in mbs and "ArrowEvalPython" not in mbs
+
+
+def test_r5_queries_plan_shape(spark):
+    """Plan hygiene for the round-5 queries: the text-pipeline
+    operators are pure JVM column plans (no Python node in any form);
+    repetition/vocabulary show partial+final aggregation (map-side
+    combine before their one shuffle); quality filter, sampling, and
+    PII redaction are pure map-side (no Exchange at all); the pairs
+    gate's dominant-value filter is pushed into a WindowGroupLimit
+    (top-1 pruned map-side BEFORE the shuffle)."""
+    for q in (
+        e.q_repetition_ratios,
+        e.q_quality_filter,
+        e.q_vocabulary,
+        e.q_stratified_sample,
+        e.q_curation_pipeline,
+        e.q_pii_redaction,
+    ):
+        plan = explain_str(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "FlatMapGroupsInPandas" not in plan, q.__name__
+
+    rep = explain_str(e.q_repetition_ratios(spark, SF_DIR))
+    assert rep.count("HashAggregate") >= 2  # partial + final gram counts
+
+    voc = explain_str(e.q_vocabulary(spark, SF_DIR))
+    assert voc.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in voc or "WindowGroupLimit" in voc
+
+    for q in (e.q_quality_filter, e.q_stratified_sample, e.q_pii_redaction):
+        plan = explain_str(q(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{q.__name__} should be map-side only"
+
+    pairs = explain_str(e.q_macrobase_summaries_pairs(spark, SF_DIR))
+    assert "WindowGroupLimit" in pairs
+    assert pairs.count("FlatMapGroupsInPandas (") == 1
