@@ -670,3 +670,50 @@ def test_near_dup_clusters_constructed_graph(spark):
     )
     out2 = {r.doc_id: r.cluster_rep for r in near_dup_clusters(chain).collect()}
     assert set(out2.values()) == {100} and len(out2) == 7
+
+
+def test_redact_pii_adversarial_parity(spark):
+    """redact_pii's cross-engine guarantee on ADVERSARIAL inputs (the
+    driver fixture is benign): consecutive @s, trailing dots, phone
+    inside longer digit runs, email abutting a phone, unicode — Spark
+    (Java regex) and DuckDB (RE2) must agree byte-for-byte on counts
+    and redacted text."""
+    import duckdb
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        EMAIL_RE,
+        PHONE_RE,
+        redact_pii,
+    )
+
+    cases = [
+        "a@@b.com x@y.io",                 # double @ — only x@y.io matches
+        "user@host.name. end",             # trailing dot after TLD
+        "1555-123-45678 and 555-123-4567", # phone inside longer digit run
+        "a@b.co555-123-4567",              # email abutting phone digits
+        "héllo wörld a@b.de",              # unicode around a match
+        "@no.user and user@ and user@.com",
+        "...@...com 00-00-0000 555-12-34567",
+        "tail@x.yz",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.redacted_sha, r.redacted_len)
+        for r in redact_pii(docs).collect()
+    }
+    duck = duckdb.connect()
+    e, p = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    for i, t in enumerate(cases):
+        ne, np_, sha, ln = duck.execute(
+            f"""SELECT len(regexp_extract_all(?, '{e}')),
+                       len(regexp_extract_all(?, '{p}')),
+                       sha256(regexp_replace(regexp_replace(?, '{e}', '<EMAIL>', 'g'),
+                                             '{p}', '<PHONE>', 'g')),
+                       length(regexp_replace(regexp_replace(?, '{e}', '<EMAIL>', 'g'),
+                                             '{p}', '<PHONE>', 'g'))""",
+            [t, t, t, t],
+        ).fetchone()
+        assert got[i] == (ne, np_, sha, ln), (i, t, got[i], (ne, np_, sha, ln))
