@@ -497,6 +497,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C-style eval-overlap removal):
+    the PLANTED benchmark set is every doc_id % 25 == 0 document, so
+    the gate sees self-hits, exact-duplicate hits, and clean docs. The
+    benchmark side is tiny -> explicit broadcast; corpus probe is a
+    map-side broadcast join on exploded 8-grams, one doc_id shuffle
+    for the rollup (operators/textstats.py::decontaminate)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    return decontaminate(docs, benchmark, n=8)
+
+
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host rollup over PLANTED urls (the
+    fixture table carries none): scheme case, a www. prefix, and
+    tracking query strings vary deterministically with doc_id so the
+    gate exercises every canonicalization branch. One host shuffle
+    with algebraic (map-side partial) aggregates
+    (operators/textstats.py::url_host_stats)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        url_host_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scheme = F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
+    www = F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    query = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            scheme, www, F.col("source"), F.lit(".Example.COM/articles/"),
+            F.col("doc_id").cast("string"), query,
+        ).alias("url"),
+    )
+    return url_host_stats(pages)
+
+
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -2194,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "vocabulary": q_vocabulary,
         "stratified_sample": q_stratified_sample,
+        "decontamination": q_decontamination,
+        "url_host_stats": q_url_host_stats,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "language_id": q_language_id,
@@ -2590,6 +2638,67 @@ WITH b AS (
 )
 SELECT doc_id, lang, sample_bucket, keep_below
 FROM b WHERE sample_bucket < keep_below
+"""
+
+
+# replants the doc_id % 25 == 0 benchmark set and recomputes 8-gram
+# overlap exactly (DuckDB list slicing is 1-based inclusive: w[i:i+7]
+# is 8 elements, mirroring Spark's F.slice(words, i, 8))
+_DECONTAMINATION_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT g.gram) AS n_distinct_hits
+  FROM grams g JOIN bench b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_distinct_hits, 0) AS n_distinct_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+# replants the deterministic urls and replays the same
+# backref/lookaround-free canonicalization regexes byte-for-byte
+_URL_HOST_STATS_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '.Example.COM/articles/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+             ELSE '' END)
+         AS url
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', '') AS ns
+  FROM pages
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(ns, '^([^/?#]+)', 1), '^www\.', '') AS host,
+         regexp_extract(ns, '^[^/?#]+([^?#]*)', 1) AS path
+  FROM stripped
+)
+SELECT host,
+       regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT path) AS n_distinct_paths,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM canon
+GROUP BY host, domain
 """
 
 
@@ -3042,6 +3151,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle_sql(),
         "curation_pipeline": _curation_pipeline_oracle_sql(),
         "pii_redaction": _pii_redaction_oracle_sql(),
+        "decontamination": _DECONTAMINATION_SQL,
+        "url_host_stats": _URL_HOST_STATS_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

@@ -217,6 +217,104 @@ def deterministic_stratified_sample(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the eval-set-overlap removal stage
+    of a pre-training pipeline (GPT-3 §C / PaLM / Llama all ship one):
+    a training document is CONTAMINATED iff it shares any word
+    n-gram (default 13-gram in the papers; 8 here to suit fixture doc
+    lengths) with the held-out benchmark corpus.
+
+    Spark-first shape for a 100-TB corpus vs a tiny (MBs) benchmark
+    set: the benchmark side is n-grammed and DISTINCT-ed — bounded by
+    benchmark token count, so Spark broadcasts it (explicit
+    F.broadcast) and the corpus-side probe is a map-side broadcast
+    hash join on the exploded corpus n-grams: NO corpus shuffle for
+    the match, one doc_id shuffle for the per-document rollup, and a
+    final broadcast-left join back to the full corpus so clean
+    documents surface with zero counts. N-gram construction is pure
+    JVM higher-order functions (transform over sequence + slice), the
+    same codegen shape as document_repetition_ratios.
+
+    Returns one row per corpus document: occurrence and distinct
+    matched-gram counts plus the `contaminated` verdict."""
+    def _grams(frame: DataFrame, tcol: str, keep):
+        words = F.split(F.col(tcol), " ")
+        g = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(*keep, F.explode(g).alias("gram"))
+
+    bench_grams = _grams(benchmark, bench_text_col, []).distinct()
+    corpus_grams = _grams(docs, text_col, [F.col(id_col).alias("doc_id")])
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("gram").alias("n_distinct_hits"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("n_distinct_hits"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def url_host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL canonicalization + per-host rollup — the url-host dimension
+    of the north_star's RCA ranking and the host-level accounting every
+    Common-Crawl-style pipeline needs (robots/blocklists/host quotas).
+
+    Canonicalization (all JVM regexp/string ops, map-side): lowercase,
+    strip scheme, strip a leading `www.`, split host from path, drop
+    the query string (tracking params). Registered domain = last two
+    host labels. The rollup is ONE shuffle keyed by host; host-key
+    skew at 100 TB (a few giant hosts own most pages) is exactly the
+    skew the engine's salted dimension-breakdown pattern handles —
+    this op keeps plain groupBy because its aggregates are all
+    algebraic (map-side partial agg absorbs the skew before the
+    shuffle). Patterns are backref/lookaround-free so the DuckDB
+    oracle replays them byte-for-byte."""
+    lower = F.lower(F.col(url_col))
+    no_scheme = F.regexp_replace(lower, r"^[a-z][a-z0-9+.-]*://", "")
+    host_raw = F.regexp_extract(no_scheme, r"^([^/?#]+)", 1)
+    host = F.regexp_replace(host_raw, r"^www\.", "")
+    path = F.regexp_extract(no_scheme, r"^[^/?#]+([^?#]*)", 1)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    canon = pages.select(
+        F.col(id_col).alias("doc_id"),
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+    )
+    return canon.groupBy("host", "domain").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("path").alias("n_distinct_paths"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 # conservative PII patterns chosen for identical semantics under both
 # Java regex (Spark) and RE2 (DuckDB): character classes + bounded
 # quantifiers only — no backrefs, no lookaround

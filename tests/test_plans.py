@@ -279,3 +279,29 @@ def test_r5_queries_plan_shape(spark):
     pairs = explain_str(e.q_macrobase_summaries_pairs(spark, SF_DIR))
     assert "WindowGroupLimit" in pairs
     assert pairs.count("FlatMapGroupsInPandas (") == 1
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram side is bounded (MBs of eval data even at
+    a 100-TB corpus) and must broadcast: the contamination probe is a
+    map-side BroadcastHashJoin on the exploded corpus grams — no
+    corpus-wide shuffle for the match — and the whole plan stays JVM."""
+    df = e.q_decontamination(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # rollup keeps map-side partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_url_host_stats_stays_jvm_with_partial_agg(spark):
+    """URL canonicalization is pure JVM regexp column math; the host
+    rollup's aggregates are all algebraic so the plan must show
+    partial+final HashAggregate around ONE exchange (map-side combine
+    absorbs host-key skew before the shuffle)."""
+    df = e.q_url_host_stats(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
