@@ -717,3 +717,68 @@ def test_redact_pii_adversarial_parity(spark):
             [t, t, t, t],
         ).fetchone()
         assert got[i] == (ne, np_, sha, ln), (i, t, got[i], (ne, np_, sha, ln))
+
+
+def test_decontaminate_constructed_corpus(spark):
+    """Constructed-corpus edges the fixture can't hit: a doc shorter
+    than n words yields zero grams (never contaminated, still in the
+    output); a benchmark doc below n contributes nothing; overlap at
+    exactly one shared n-gram flags; repeated occurrences of one gram
+    count as hits but one distinct gram."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("a b c d",), ("too short",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c d y"),          # one shared 4-gram
+            (2, "a b c d a b c d"),      # "a b c d" occurs twice + no other bench grams
+            (3, "a b c"),                # shorter than n -> clean
+            (4, "totally different words here"),
+            (5, "too short"),            # matches ONLY the sub-n bench doc -> clean
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["n_distinct_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert out[1] == (1, 1, True)
+    assert out[2] == (2, 1, True)
+    assert out[3] == (0, 0, False)
+    assert out[4] == (0, 0, False)
+    assert out[5] == (0, 0, False)
+    assert len(out) == 5
+
+
+def test_url_host_stats_canonicalization_edges(spark):
+    """Canonicalization branches beyond the planted fixture: missing
+    scheme (kept as-is), explicit port (part of the host key),
+    fragment stripped with the query, single-label host (no registered
+    domain -> empty string), and www-only prefix stripping (not
+    mid-host 'www')."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        url_host_stats,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://www.Foo.COM/a?x=1"),
+            (2, "foo.com/a#frag"),                  # no scheme, fragment dropped
+            (3, "http://foo.com:8080/a"),           # port stays in host
+            (4, "https://localhost/a"),             # single label -> no domain
+            (5, "https://wwwx.foo.com/b"),          # 'www' prefix NOT stripped mid-label
+        ],
+        ["doc_id", "url"],
+    )
+    rows = {
+        (r["host"], r["domain"]): (r["n_pages"], r["n_distinct_paths"])
+        for r in url_host_stats(pages).collect()
+    }
+    assert rows[("foo.com", "foo.com")] == (2, 1)          # docs 1+2 share /a
+    assert rows[("foo.com:8080", "foo.com:8080")] == (1, 1)
+    assert rows[("localhost", "")] == (1, 1)
+    assert rows[("wwwx.foo.com", "foo.com")] == (1, 1)
