@@ -497,6 +497,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring via self-trained unigram LM,
+    in exact integer bits (floor-log2 via length(bin(x))-1 — no float
+    transcendentals, so the DuckDB oracle replays it bit-for-bit):
+    explode -> vocab shuffle -> word-key scoring join -> doc_id rollup
+    (operators/textstats.py::unigram_surprisal)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 §C-style eval-overlap removal):
     the PLANTED benchmark set is every doc_id % 25 == 0 document, so
@@ -2242,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "url_host_stats": q_url_host_stats,
+        "unigram_surprisal": q_unigram_surprisal,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "language_id": q_language_id,
@@ -2638,6 +2652,34 @@ WITH b AS (
 )
 SELECT doc_id, lang, sample_bucket, keep_below
 FROM b WHERE sample_bucket < keep_below
+"""
+
+
+# integer-bits surprisal replayed exactly: floor(log2(x)) =
+# length(bin(x)) - 1 in both engines (verified: minimal-digit binary
+# strings match for 1/5/1024)
+_UNIGRAM_SURPRISAL_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, COUNT(*) AS wc FROM words GROUP BY word
+),
+total AS (
+  SELECT length(bin(SUM(wc))) - 1 AS n_bits FROM vocab
+),
+per_doc AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_words,
+         SUM(length(bin(v.wc)) - 1) AS sum_wc_bits
+  FROM words w JOIN vocab v USING (word)
+  GROUP BY w.doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_words * (SELECT n_bits FROM total) - sum_wc_bits AS BIGINT)
+           AS surprisal_bits
+FROM per_doc
 """
 
 
@@ -3153,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": _pii_redaction_oracle_sql(),
         "decontamination": _DECONTAMINATION_SQL,
         "url_host_stats": _URL_HOST_STATS_SQL,
+        "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

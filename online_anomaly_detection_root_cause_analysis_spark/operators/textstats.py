@@ -1,10 +1,13 @@
 """Text-analysis operators over the documents table: quality scoring,
 token counting, language-ID, fingerprinting — the per-document feature
 stage of a training-data pipeline. All JVM column math (codegen, no
-Python in the plan) — see functions/text.py."""
+Python in the plan) — see functions/text.py. Sole exception:
+`streaming_decontaminate`, whose stream-side set-membership gate is a
+vectorized Arrow pandas UDF by design (documented there)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -217,6 +220,58 @@ def deterministic_stratified_sample(
     )
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM surprisal scoring — the perplexity-style quality
+    signal of CCNet/RefinedWeb-class pipelines (docs made of rare
+    words score high, word-salad of corpus-common tokens scores low),
+    self-trained on the corpus itself.
+
+    Scored in exact INTEGER bits so two engines agree bit-for-bit:
+    per-word surprisal = floor(log2(N)) - floor(log2(count(word))),
+    where floor(log2(x)) = length(bin(x)) - 1 — a pure string-length
+    identity with no float transcendentals (java.lang.Math.log and
+    libm disagree in the last ulp, which a floor() then amplifies; a
+    production scorer would use float ln and NOT hash-gate it — the
+    ranking is the same, the resolution coarser).
+
+    100-TB shape: one explode; vocab = groupBy(word) with map-side
+    partial counts (shuffle 1, the word-count canonical plan); scoring
+    join re-shuffles words against the vocab on the word key (co-
+    partitioned with shuffle 1, no skew beyond natural Zipf — AQE
+    skew-join handles the head words); per-doc rollup is shuffle 2 on
+    doc_id. The corpus-total N is a one-row aggregate cross-joined
+    back (broadcast of a scalar). The vocab is corpus-sized, NOT
+    collected or broadcast — at web scale it doesn't fit one executor,
+    so the shuffle join is the honest plan."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("wc"))
+    floor_log2_wc = (F.length(F.bin(F.col("wc"))) - 1).cast("long")
+    per_doc = (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(floor_log2_wc).alias("sum_wc_bits"),
+        )
+    )
+    total = vocab.agg(F.sum("wc").alias("total_words"))
+    floor_log2_n = (F.length(F.bin(F.col("total_words"))) - 1).cast("long")
+    return per_doc.join(F.broadcast(total)).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("n_words") * floor_log2_n - F.col("sum_wc_bits"))
+        .cast("long")
+        .alias("surprisal_bits"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -274,6 +329,70 @@ def decontaminate(
         .alias("n_distinct_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def streaming_decontaminate(
+    records: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    max_bench_grams: int = 5_000_000,
+) -> DataFrame:
+    """STREAM-side eval-overlap gate — the batch `decontaminate` run
+    inside the ingest stream: documents sharing any word n-gram with
+    the held-out benchmark set are dropped before they reach
+    dedup/windowing.
+
+    The batch operator explodes the corpus and joins; a stream can't
+    explode to gram level and then recover a doc-level verdict without
+    a stateful aggregation (state + latency for what is logically a
+    row-local check). Instead the benchmark gram set — bounded by
+    EVAL-SET token count (MBs even when the corpus is 100 TB; same
+    bounded-collect justification as the IVF centroid sample) — is
+    collected ONCE before the stream starts, shipped via
+    sc.broadcast, and the per-document check runs as ONE vectorized
+    Arrow pandas UDF doing set-membership with per-row early exit.
+    Stateless and map-side: no shuffle, no state store, composes with
+    watermark/dedup/window operators downstream, and works identically
+    on batch frames (the test twin). `max_bench_grams` fails loudly if
+    someone points it at a benchmark too big to broadcast."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    words = F.split(F.col(bench_text_col), " ")
+    gram_col = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_rows = (
+        benchmark.select(F.explode(gram_col).alias("gram")).distinct().collect()
+    )
+    if len(bench_rows) > max_bench_grams:
+        raise ValueError(
+            f"benchmark has {len(bench_rows)} distinct {n}-grams, over the "
+            f"{max_bench_grams} broadcast bound — decontaminate in batch instead"
+        )
+    gram_set = {r["gram"] for r in bench_rows}
+    bc = records.sparkSession.sparkContext.broadcast(gram_set)
+
+    @pandas_udf("boolean")
+    def _clean(texts: pd.Series) -> pd.Series:
+        gs = bc.value
+
+        def check(t):
+            w = t.split(" ")
+            if len(w) < n:
+                return True
+            return not any(
+                " ".join(w[i : i + n]) in gs for i in range(len(w) - n + 1)
+            )
+
+        return texts.apply(check)
+
+    return records.filter(_clean(F.col(text_col)))
 
 
 def url_host_stats(

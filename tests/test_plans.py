@@ -305,3 +305,29 @@ def test_url_host_stats_stays_jvm_with_partial_agg(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_unigram_surprisal_plan_and_exact_bits(spark):
+    """Surprisal stays JVM-side with map-side partial counts; the
+    corpus-total N joins back as a broadcast scalar, never a shuffle.
+    Also pins the exact integer-bit math on a constructed corpus:
+    N=6 -> floor_log2=2; 'a' (count 5, 2 bits), 'b' (count 1, 0 bits);
+    all-common doc scores 0, the rare-word doc scores 2."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    df = e.q_unigram_surprisal(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # vocab + rollup, partial+final each
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["n_words"], r["surprisal_bits"])
+           for r in unigram_surprisal(docs).collect()}
+    assert out[1] == (4, 0)
+    assert out[2] == (2, 2)

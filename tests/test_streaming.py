@@ -782,3 +782,58 @@ def test_streaming_job_pre_filter(spark, tmp_path):
     assert _norm_rows(gated) == _norm_rows(baseline)
     # and the gate actually removed records (totals differ)
     assert _norm_rows(unfiltered) != _norm_rows(baseline)
+
+
+def test_streaming_decontaminate(spark, tmp_path):
+    """Stream-side eval-overlap gate: the survivors of the streamed
+    gate equal the batch decontaminate's clean set on the same rows,
+    contaminated docs are dropped mid-stream (stateless, no watermark
+    needed), and the batch twin of the same operator agrees."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        decontaminate,
+        streaming_decontaminate,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(300)
+    pdf = docs[["doc_id", "text"]].reset_index(drop=True)
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(pdf, src, 3)
+
+    bench = spark.createDataFrame(pdf[pdf.doc_id % 25 == 0][["text"]])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    gated = streaming_decontaminate(stream, bench, n=8)
+    q = (
+        gated.writeStream.format("memory").queryName("decon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed_clean = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM decon_stream").collect()
+    }
+
+    batch_df = spark.createDataFrame(pdf)
+    batch_clean = {
+        r["doc_id"]
+        for r in decontaminate(batch_df, bench, n=8)
+        .filter("NOT contaminated")
+        .collect()
+    }
+    assert streamed_clean == batch_clean
+    # the gate actually fired: every %25 benchmark doc is dropped
+    assert all(d % 25 != 0 for d in streamed_clean)
+    assert len(streamed_clean) < len(pdf)
+    # batch twin of the streaming operator agrees too
+    twin_clean = {
+        r["doc_id"] for r in streaming_decontaminate(batch_df, bench, n=8).collect()
+    }
+    assert twin_clean == batch_clean
