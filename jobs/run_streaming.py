@@ -162,6 +162,20 @@ def main() -> None:
         "gate, e.g. \"value > 0\"); stateless map-side filter",
     )
     ap.add_argument(
+        "--decontaminate-against", default=None,
+        help="path to a parquet table of benchmark documents (column "
+        "'text'); stream pages sharing any word n-gram with it are "
+        "dropped BEFORE record building (eval-set decontamination "
+        "inside the ingest stream; the benchmark gram set is bounded "
+        "and broadcast once — operators/textstats.py::"
+        "streaming_decontaminate)",
+    )
+    ap.add_argument(
+        "--decontaminate-ngram", type=int, default=8,
+        help="n-gram size for --decontaminate-against (13 in the "
+        "GPT-3 §C convention; smaller for short-document corpora)",
+    )
+    ap.add_argument(
         "--hierarchy-from-data", action="store_true",
         help="resolve hierarchical-RCA parent values from per-window "
         "co-occurrence (parent = independent record field) instead of "
@@ -181,9 +195,15 @@ def main() -> None:
         dedup_col=args.dedup_col,
         pre_filter=args.pre_filter,
     )
-    stream = build_page_records(
-        read_pages_stream(spark, args.input, args.max_files_per_trigger), cfg
-    )
+    pages = read_pages_stream(spark, args.input, args.max_files_per_trigger)
+    if args.decontaminate_against:
+        from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+            streaming_decontaminate,
+        )
+
+        bench = spark.read.parquet(args.decontaminate_against).select("text")
+        pages = streaming_decontaminate(pages, bench, n=args.decontaminate_ngram)
+    stream = build_page_records(pages, cfg)
     q1 = job.start_aggregate_query(stream)
     q2 = job.start_detect_query(spark)
     print(f"aggregate={q1.id} detect={q2.id}; alerts -> {job.alerts_dir}, rca -> {job.rca_dir}")
