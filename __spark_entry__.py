@@ -497,6 +497,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal over PLANTED multi-line docs
+    (the fixture text is single-line): each doc is split into two
+    content lines, and doc_id % 4 == 0 docs get a shared boilerplate
+    line INSERTED BETWEEN them — so the gate checks df counting (the
+    boilerplate's df is ~N/4, content lines stay unique except exact-
+    dup docs at df 2 <= max_df), deletion, and order-preserving
+    reassembly (survivors must rejoin as line1\\nline2)
+    (operators/textstats.py::line_dedup)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        line_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    l1 = F.substring(F.col("text"), 1, 60)
+    l2 = F.substring(F.col("text"), 61, 1000000)
+    nl = F.lit("\n")
+    boiler = F.lit("subscribe to our newsletter today")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(l1, nl, boiler, nl, l2),
+        )
+        .otherwise(F.concat(l1, nl, l2))
+        .alias("text"),
+    )
+    return line_dedup(planted, max_df=3)
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring via self-trained unigram LM,
     in exact integer bits (floor-log2 via length(bin(x))-1 — no float
@@ -2256,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "url_host_stats": q_url_host_stats,
         "unigram_surprisal": q_unigram_surprisal,
+        "line_dedup": q_line_dedup,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "language_id": q_language_id,
@@ -2652,6 +2683,49 @@ WITH b AS (
 )
 SELECT doc_id, lang, sample_bucket, keep_below
 FROM b WHERE sample_bucket < keep_below
+"""
+
+
+# replants the two-line split + %4 boilerplate insertion and replays
+# df-counting, deletion, and ORDER-preserving reassembly
+# (string_agg ORDER BY pos == Spark's array_sort(struct(pos,line)))
+_LINE_DEDUP_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+      THEN substr(text, 1, 60) || chr(10)
+           || 'subscribe to our newsletter today' || chr(10)
+           || substr(text, 61, 1000000)
+      ELSE substr(text, 1, 60) || chr(10) || substr(text, 61, 1000000)
+    END AS text
+  FROM documents
+),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM planted
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS line
+  FROM split_docs, UNNEST(range(1, len(l) + 1)) AS t(i)
+),
+df AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM lines JOIN df USING (line)
+  WHERE line_df <= 3
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM planted
+)
+SELECT b.doc_id,
+       CAST(b.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       sha256(COALESCE(k.clean_text, '')) AS clean_sha,
+       CAST(length(COALESCE(k.clean_text, '')) AS BIGINT) AS clean_len
+FROM base b LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -3196,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _DECONTAMINATION_SQL,
         "url_host_stats": _URL_HOST_STATS_SQL,
         "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

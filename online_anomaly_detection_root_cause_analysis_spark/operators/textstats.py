@@ -434,6 +434,68 @@ def url_host_stats(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    max_df: int = 3,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (line-level) deduplication — RefinedWeb/CCNet
+    boilerplate removal: a LINE occurring in more than `max_df`
+    distinct documents (cookie banners, nav menus, "subscribe" calls)
+    is deleted from every document, and each document's surviving
+    lines are reassembled IN ORDER. Document-level dedup can't catch
+    this: the documents differ, the boilerplate repeats.
+
+    100-TB shape, all JVM: posexplode the lines (position carried for
+    order-preserving reassembly); document-frequency = one
+    count_distinct shuffle on the line key (map-side partial);
+    the filter join is line-key co-partitioned with that shuffle; the
+    reassembly is one doc_id shuffle whose aggregate sorts the
+    carried (pos, line) structs — no window function, no Python.
+    Boilerplate lines are the head of a Zipf curve — exactly the
+    AQE-skew-join case, and the df table could be df-capped like the
+    dedup shingle paths if a single line dominates."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    line_df = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    kept = (
+        lines.join(line_df, "line")
+        .filter(F.col("line_df") <= max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(F.split(F.col(text_col), sep))).cast("long").alias("n_lines"),
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.sha2(F.coalesce(F.col("clean_text"), F.lit("")), 256).alias("clean_sha"),
+        F.length(F.coalesce(F.col("clean_text"), F.lit("")))
+        .cast("long")
+        .alias("clean_len"),
+    )
+
+
 # conservative PII patterns chosen for identical semantics under both
 # Java regex (Spark) and RE2 (DuckDB): character classes + bounded
 # quantifiers only — no backrefs, no lookaround

@@ -782,3 +782,39 @@ def test_url_host_stats_canonicalization_edges(spark):
     assert rows[("foo.com:8080", "foo.com:8080")] == (1, 1)
     assert rows[("localhost", "")] == (1, 1)
     assert rows[("wwwx.foo.com", "foo.com")] == (1, 1)
+
+
+def test_line_dedup_constructed_corpus(spark):
+    """Order-preserving boilerplate removal on a constructed corpus:
+    the shared line vanishes from every doc, survivors rejoin in
+    original order, a doc made ENTIRELY of boilerplate collapses to
+    the empty text (n_kept 0, sha of ''), and df counts distinct DOCS
+    (a line repeated inside one doc is df=1, both copies kept)."""
+    import hashlib
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        line_dedup,
+    )
+
+    boiler = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha\n{boiler}\nbeta"),
+            (2, f"{boiler}\ngamma"),
+            (3, boiler),                      # collapses entirely
+            (4, "delta\ndelta\nepsilon"),     # in-doc repeat: df=1, kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_sha"], r["clean_len"])
+        for r in line_dedup(docs, max_df=1).collect()
+    }
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    assert out[1] == (3, 2, sha("alpha\nbeta"), len("alpha\nbeta"))
+    assert out[2] == (2, 1, sha("gamma"), 5)
+    assert out[3] == (1, 0, sha(""), 0)
+    assert out[4] == (3, 3, sha("delta\ndelta\nepsilon"), 19)

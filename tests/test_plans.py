@@ -331,3 +331,16 @@ def test_unigram_surprisal_plan_and_exact_bits(spark):
            for r in unigram_surprisal(docs).collect()}
     assert out[1] == (4, 0)
     assert out[2] == (2, 2)
+
+
+def test_line_dedup_stays_jvm_partial_agg(spark):
+    """Line-level dedup is pure JVM: posexplode + df count with
+    map-side partials, line-key-co-partitioned filter join, one doc_id
+    reassembly shuffle whose ordering comes from array_sort on carried
+    (pos, line) structs — no window function, no Python node."""
+    df = e.q_line_dedup(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" not in plan  # reassembly must not be a window sort
+    assert plan.count("HashAggregate") >= 2
