@@ -497,6 +497,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: first 5 BPE merge rules learned from the
+    corpus (distinct-word vocab + frequencies, one pair-count shuffle
+    per round, single-row argmax collect, map-side replace). Oracle:
+    the same 5 rounds UNROLLED as DuckDB CTEs — identical char split,
+    weighted pair counts, (count desc, left, right) tiebreak, and
+    byte-identical single-pass replace semantics (probed: both engines
+    resume scanning after each replacement)
+    (operators/textstats.py::bpe_merges)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bpe_merges,
+    )
+
+    return bpe_merges(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=5
+    )
+
+
+def q_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy-hitter words, top-10 with deterministic
+    (count desc, word asc) ties; the rank filter compiles to
+    WindowGroupLimit (per-partition top-k pruned BEFORE the window
+    shuffle — plan-asserted)
+    (operators/textstats.py::top_words_per_key)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        top_words_per_key,
+    )
+
+    return top_words_per_key(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key_col="lang", k=10
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document boilerplate removal over PLANTED multi-line docs
     (the fixture text is single-line): each doc is split into two
@@ -2287,6 +2320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": q_url_host_stats,
         "unigram_surprisal": q_unigram_surprisal,
         "line_dedup": q_line_dedup,
+        "top_words_per_lang": q_top_words_per_lang,
+        "bpe_merges": q_bpe_merges,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "language_id": q_language_id,
@@ -2683,6 +2718,61 @@ WITH b AS (
 )
 SELECT doc_id, lang, sample_bucket, keep_below
 FROM b WHERE sample_bucket < keep_below
+"""
+
+
+def _bpe_merges_oracle_sql(n: int = 5) -> str:
+    """The engine's 5 BPE rounds UNROLLED as chained CTEs: s{r} is the
+    symbolized weighted vocab after r merges, p{r} the weighted pair
+    counts, b{r} the round's argmax rule. Replace semantics are the
+    byte-identical single-pass scan both engines implement; SUM is
+    cast back to BIGINT (DuckDB widens to HUGEINT)."""
+    ctes = [
+        "v AS (SELECT word, COUNT(*) AS w FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " GROUP BY word)",
+        "s0 AS (SELECT w, array_to_string(string_split(word, ''), ' ') AS seq FROM v)",
+    ]
+    for r in range(n):
+        ctes.append(
+            f"p{r} AS (SELECT s[i] AS l, s[i+1] AS r, SUM(w) AS c"
+            f" FROM (SELECT w, string_split(seq, ' ') AS s FROM s{r}) q{r},"
+            f" UNNEST(range(1, len(s))) AS t(i)"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT l, r, c FROM p{r}"
+            f" ORDER BY c DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if r < n - 1:
+            ctes.append(
+                f"s{r + 1} AS (SELECT w, trim(replace(' ' || seq || ' ',"
+                f" ' ' || (SELECT l FROM b{r}) || ' ' || (SELECT r FROM b{r}) || ' ',"
+                f" ' ' || (SELECT l FROM b{r}) || (SELECT r FROM b{r}) || ' ')) AS seq"
+                f" FROM s{r})"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(n)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+_TOP_WORDS_PER_LANG_SQL = """
+WITH words AS (
+  SELECT lang AS key, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT key, word, COUNT(*) AS n FROM words GROUP BY key, word
+),
+ranked AS (
+  SELECT key, word, n,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY n DESC, word ASC) AS rank
+  FROM counts
+)
+SELECT key, CAST(rank AS BIGINT) AS rank, word, n
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -3271,6 +3361,8 @@ def oracle_sql() -> dict[str, str]:
         "url_host_stats": _URL_HOST_STATS_SQL,
         "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
+        "bpe_merges": _bpe_merges_oracle_sql(),
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

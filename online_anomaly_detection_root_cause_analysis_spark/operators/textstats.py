@@ -187,6 +187,129 @@ def corpus_vocabulary(
     )
 
 
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary induction — the first `n_merges` BPE merge
+    rules (Sennrich et al. 2016) learned from the corpus, the training
+    half of the tokenizer every LLM pipeline ships.
+
+    Spark-first shape: the corpus collapses to the DISTINCT-WORD vocab
+    with frequencies (one shuffle — pair statistics are identical on
+    weighted types vs raw occurrences, and the vocab is orders of
+    magnitude smaller than a 100-TB corpus, exactly how reference BPE
+    trainers work). Each round then costs ONE pair-count shuffle with
+    map-side partials over the persisted vocab (symbol pairs via JVM
+    higher-order functions), a single-ROW argmax collect (the merge
+    rule itself — bounded driver traffic by construction, like the
+    convergence scalar in near_dup_clusters), and a map-side string
+    replace applying the rule; the vocab is re-persisted per round to
+    truncate lineage (the legitimately-iterative-operator rule).
+
+    Merge application is SINGLE-PASS left-to-right non-overlapping
+    string replacement of ` L R ` in the space-joined symbol string —
+    verified byte-identical between Spark's replace and DuckDB's (both
+    resume scanning after each replacement). For SELF-OVERLAPPING
+    pairs (L == R, e.g. `a a a a a`) this differs from canonical
+    greedy BPE in where the unpaired symbol lands ([aa a aa] vs
+    [aa aa a]) — same merge count, shifted adjacency for later
+    rounds; a documented determinism-over-canonicality choice.
+    Ties break (count desc, left asc, right asc).
+
+    Returns the merge table: (rank, left, right, merged, pair_count)
+    — built from the n_merges collected argmax rows (the vocab
+    artifact is tiny by definition)."""
+    spark = docs.sparkSession
+    word_freq = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("w"))
+    )
+    vocab = word_freq.select(
+        "w", F.concat_ws(" ", F.split(F.col("word"), "")).alias("seq")
+    ).persist()
+    vocab.count()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.col("seq"), " ")
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + F.lit(1)).alias("r"),
+            ),
+        )
+        best = (
+            vocab.filter(F.size(syms) >= 2)
+            .select("w", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("w").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((rank, l, r, l + r, int(c)))
+        stepped = vocab.select(
+            "w",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                )
+            ).alias("seq"),
+        ).persist()
+        stepped.count()
+        vocab.unpersist()
+        vocab = stepped
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )
+
+
+def top_words_per_key(
+    docs: DataFrame,
+    key_col: str = "lang",
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-key heavy hitters — `corpus_vocabulary` generalized to one
+    top-k PER GROUP (per-language stopword lists, per-domain boiler
+    terms): explode -> (key, word) count with map-side partials (one
+    shuffle) -> rank row_number((count desc, word asc)) <= k.
+
+    At scale the rank-filter must NOT materialize a full per-key sort:
+    Spark 3.5+ turns rank-limit filters into WindowGroupLimit, which
+    prunes to the per-partition top-k BEFORE the window shuffle —
+    plan-asserted in tests. Ties break deterministically so two
+    engines (and two runs) agree."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(
+            F.col(key_col).alias("key"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .groupBy("key", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    rank = F.row_number().over(
+        W.partitionBy("key").orderBy(F.desc("n"), F.asc("word"))
+    )
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select("key", F.col("rank").cast("long").alias("rank"), "word", "n")
+    )
+
+
 def deterministic_stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -818,3 +818,25 @@ def test_line_dedup_constructed_corpus(spark):
     assert out[2] == (2, 1, sha("gamma"), 5)
     assert out[3] == (1, 0, sha(""), 0)
     assert out[4] == (3, 3, sha("delta\ndelta\nepsilon"), 19)
+
+
+def test_bpe_merges_constructed_corpus(spark):
+    """Pins every BPE-merge semantic on a corpus tiny enough to trace
+    by hand: weighted pair counts (distinct-word vocab x frequency),
+    the (count desc, left, right) tiebreak, the documented SINGLE-PASS
+    self-overlap behavior ('a a a a' -> 'aa a a', leaving an (a,a)
+    pair that wins round 2 again before (aa,aa) merges in round 3),
+    and early termination when no pairs remain (4 rules from
+    n_merges=5)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bpe_merges,
+    )
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa ab")], ["doc_id", "text"])
+    rows = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
+    assert rows == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "a", "aa", 2),
+        (3, "aa", "aa", "aaaa", 2),
+        (4, "a", "b", "ab", 1),
+    ]

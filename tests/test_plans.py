@@ -344,3 +344,14 @@ def test_line_dedup_stays_jvm_partial_agg(spark):
     assert "ArrowEvalPython" not in plan
     assert "Window" not in plan  # reassembly must not be a window sort
     assert plan.count("HashAggregate") >= 2
+
+
+def test_top_words_per_lang_window_group_limit(spark):
+    """The per-key top-k rank filter must compile to WindowGroupLimit
+    (per-partition top-k pruned before the window shuffle) with
+    map-side partial counts feeding it, all JVM."""
+    df = e.q_top_words_per_lang(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
