@@ -497,6 +497,46 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKED_HOSTS = [f"src{i}.example.com" for i in range(5)]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host blocklist gate over the planted urls (same planting as
+    url_host_stats): hosts src0-src4 are excluded via a broadcast
+    LEFT ANTI join — map-side, no page-table shuffle (plan-asserted)
+    (operators/textstats.py::blocklist_filter)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        blocklist_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scheme = F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
+    www = F.when(F.col("doc_id") % 7 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            scheme, www, F.col("source"), F.lit(".Example.COM/articles/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame([(h,) for h in _BLOCKED_HOSTS], ["host"])
+    return blocklist_filter(pages, blocklist)
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event_type value percentiles (p50/p95/p99) — the
+    distribution profile detector thresholds are calibrated from;
+    F.percentile == percentile_cont == DuckDB quantile_cont, quantized
+    to 6dp (operators/windows.py::grouped_percentiles)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        grouped_percentiles,
+    )
+
+    return grouped_percentiles(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: first 5 BPE merge rules learned from the
     corpus (distinct-word vocab + frequencies, one pair-count shuffle
@@ -2322,6 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
+        "blocklist_filter": q_blocklist_filter,
+        "value_percentiles": q_value_percentiles,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "language_id": q_language_id,
@@ -2718,6 +2760,40 @@ WITH b AS (
 )
 SELECT doc_id, lang, sample_bucket, keep_below
 FROM b WHERE sample_bucket < keep_below
+"""
+
+
+_BLOCKLIST_FILTER_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '.Example.COM/articles/' || CAST(doc_id AS VARCHAR)
+         AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_extract(
+             regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+             '^([^/?#]+)', 1),
+           '^www\.', '') AS host
+  FROM pages
+)
+SELECT host, doc_id FROM canon
+WHERE host NOT IN ('src0.example.com', 'src1.example.com',
+                   'src2.example.com', 'src3.example.com', 'src4.example.com')
+"""
+
+_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+       floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95,
+       floor(quantile_cont(value, 0.99) * 1e6 + 0.5) / 1e6 AS p99
+FROM events
+GROUP BY event_type
 """
 
 
@@ -3363,6 +3439,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
+        "blocklist_filter": _BLOCKLIST_FILTER_SQL,
+        "value_percentiles": _VALUE_PERCENTILES_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,
         # at the driver operating point the LSH candidate set covers
         # every true neighbor, so exact top-k SQL is the oracle

@@ -619,6 +619,31 @@ def line_dedup(
     )
 
 
+def blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host blocklist gate — the UT1/robots-style domain exclusion
+    every crawl pipeline runs first: pages whose canonical host (same
+    canonicalization as url_host_stats) appears in the blocklist table
+    (column `host`) are dropped.
+
+    100-TB shape: the blocklist is a small dimension (at most millions
+    of hosts) against a page table of trillions — the textbook
+    broadcast LEFT ANTI join: blocklist broadcast to every executor,
+    the filter is map-side, NO shuffle of the page table at all
+    (plan-asserted). Returns surviving (doc_id, host)."""
+    lower = F.lower(F.col(url_col))
+    no_scheme = F.regexp_replace(lower, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_replace(
+        F.regexp_extract(no_scheme, r"^([^/?#]+)", 1), r"^www\.", ""
+    )
+    canon = pages.select(F.col(id_col).alias("doc_id"), host.alias("host"))
+    return canon.join(F.broadcast(blocklist.select("host")), "host", "left_anti")
+
+
 # conservative PII patterns chosen for identical semantics under both
 # Java regex (Spark) and RE2 (DuckDB): character classes + bounded
 # quantifiers only — no backrefs, no lookaround

@@ -247,3 +247,33 @@ def session_window_agg(
             "records_aggregated",
         )
     )
+
+
+def grouped_percentiles(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact per-key percentiles of the metric — the distribution
+    profile an anomaly detector's thresholds are calibrated from
+    (e.g. hstrees workspace bounds, threshold min/max come from a
+    historical p01/p99, never the stream's future).
+
+    F.percentile is Spark's EXACT continuous-interpolation percentile
+    (percentile_cont semantics, matching DuckDB's quantile_cont): one
+    shuffle on the keys; exact percentiles buffer each group's values,
+    which is the honest cost — at 100-TB profile runs you either
+    accept it on the profiling SAMPLE or switch to percentile_approx
+    (t-digest, mergeable map-side) and lose the oracle; the exact form
+    is what calibration uses. Outputs quantized to 6dp for
+    cross-engine hash stability."""
+    aggs = [F.count("*").alias("n")]
+    for p in percentiles:
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        aggs.append(
+            (
+                F.floor(F.percentile(F.col(value_col), F.lit(p)) * 1e6 + 0.5) / 1e6
+            ).alias(name)
+        )
+    return events.groupBy(*key_cols).agg(*aggs)

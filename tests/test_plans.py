@@ -355,3 +355,29 @@ def test_top_words_per_lang_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_blocklist_filter_broadcast_anti_join(spark):
+    """The blocklist gate must be a broadcast LEFT ANTI join: the
+    small host dimension ships to executors and the page-table filter
+    is map-side — no Exchange on the page side, no Python."""
+    df = e.q_blocklist_filter(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+    # page side must not shuffle: only the broadcast exchange appears
+    import re
+    non_broadcast_exchanges = [
+        m for m in re.findall(r"Exchange \w+", plan)
+        if "SinglePartition" not in m and "hashpartitioning" in m
+    ]
+    assert not non_broadcast_exchanges, plan
+
+
+def test_value_percentiles_single_shuffle(spark):
+    """Exact percentiles: one key shuffle, partial+final aggregation,
+    all JVM."""
+    df = e.q_value_percentiles(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "percentile" in plan.lower()
