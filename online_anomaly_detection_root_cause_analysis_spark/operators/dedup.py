@@ -535,6 +535,7 @@ def near_dup_clusters(
         .persist()
     )
     labels.count()
+    prev = labels  # the persisted frame backing the CURRENT labels
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id, "inner")
@@ -555,16 +556,33 @@ def near_dup_clusters(
             .persist()  # truncate per-round lineage
         )
         changed = stepped.filter(F.col("chg")).limit(1).count()
-        labels.unpersist()
+        # stepped is now materialized, so the previous round's cache
+        # (which `labels` projects from) can be released — track the
+        # PERSISTED handle explicitly: `labels` itself is an
+        # unpersisted projection after round 1, so unpersisting it
+        # would be a no-op and every round's cache would leak.
+        prev.unpersist()
+        prev = stepped
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
+        sym.unpersist()
+        prev.unpersist()
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} iterations"
         )
 
-    out = labels.select(
+    # Cut lineage so the last round's cache and the edge list can be
+    # freed NOW rather than leaking for the session: localCheckpoint
+    # materializes the converged labels (one extra small job over
+    # vertex-count rows), after which nothing downstream references
+    # the iteration's frames.
+    final = labels.localCheckpoint(eager=True)
+    prev.unpersist()
+    sym.unpersist()
+
+    out = final.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
     if all_docs is not None:

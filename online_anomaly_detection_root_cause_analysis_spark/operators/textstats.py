@@ -126,6 +126,7 @@ def gopher_quality_filter(
     min_stopwords: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stopword_probe: int = 5,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1),
     each exposed as its own boolean column plus the composite `passes`
@@ -135,8 +136,13 @@ def gopher_quality_filter(
 
     Rules: word count in [min_words, max_words]; mean word length in
     [min_mean_len, max_mean_len]; at least min_stopwords DISTINCT
-    stopwords present (the Gopher "stop word" heuristic against
-    keyword-stuffing pages)."""
+    probe stopwords present (the Gopher "stop word" heuristic against
+    keyword-stuffing pages). NOTE: the stopword rule checks only the
+    FIRST `stopword_probe` entries of STOPWORDS (Gopher itself probes
+    a small fixed list — "the be to of and that have with"), so a
+    document whose only stopwords fall outside that prefix fails
+    rule_stopwords by design; pass `stopword_probe=len(STOPWORDS)` for
+    the full-list variant. The driver oracle pins the default (5)."""
     from ..functions.text import STOPWORDS
 
     words = F.split(F.col(text_col), " ")
@@ -147,7 +153,9 @@ def gopher_quality_filter(
         / wc
     )
     n_stop = F.size(
-        F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS[:5]]))
+        F.array_intersect(
+            words, F.array(*[F.lit(s) for s in STOPWORDS[:stopword_probe]])
+        )
     )
     rule_wc = (wc >= min_words) & (wc <= max_words)
     rule_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
@@ -490,14 +498,17 @@ def streaming_decontaminate(
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bench_rows = (
-        benchmark.select(F.explode(gram_col).alias("gram")).distinct().collect()
-    )
-    if len(bench_rows) > max_bench_grams:
+    bench_grams = benchmark.select(F.explode(gram_col).alias("gram")).distinct()
+    # Size-check BEFORE collecting: limit(k+1).count() touches at most
+    # k+1 rows distributed-side, so an oversized benchmark fails loudly
+    # without ever materializing the full gram set on the driver.
+    probe = bench_grams.limit(max_bench_grams + 1).count()
+    if probe > max_bench_grams:
         raise ValueError(
-            f"benchmark has {len(bench_rows)} distinct {n}-grams, over the "
-            f"{max_bench_grams} broadcast bound — decontaminate in batch instead"
+            f"benchmark has over {max_bench_grams} distinct {n}-grams — "
+            "over the broadcast bound; decontaminate in batch instead"
         )
+    bench_rows = bench_grams.collect()
     gram_set = {r["gram"] for r in bench_rows}
     bc = records.sparkSession.sparkContext.broadcast(gram_set)
 
