@@ -1594,14 +1594,26 @@ def events_config_single() -> EngineConfig:
     )
 
 
-def q_macrobase_summaries_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_macrobase_summaries_single(
+    spark: SparkSession,
+    sf_dir: str,
+    summary_update_period: int = 100,
+    decay_rate: float = 0.0,
+    round_records: bool = False,
+) -> DataFrame:
     """Full MacroBase chain (EWFeature scorer -> percentile classifier
     -> ExponentiallyDecayingEmergingItemsets summarizer) through the
     REAL StreamingTail path, at the operating point where the
     summarizer's single-item emission is exactly SQL-replayable (see
     block comment above). Complements `macrobase_summaries` (full
     FP-growth config, rows-only) with a value-hash gate over the
-    itemset counting + risk-ratio + support-threshold machinery."""
+    itemset counting + risk-ratio + support-threshold machinery.
+
+    With `decay_rate=0.5` and `summary_update_period=249` this becomes
+    the DECAYED gate (`macrobase_summaries_decayed`): lazy AMC decay is
+    then EXACT dyadic arithmetic (decay_factor is a power of two; see
+    the decayed block comment below), so the same oracle replays the
+    full decay schedule."""
     from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
         EWFeatureSpec,
     )
@@ -1636,8 +1648,8 @@ def q_macrobase_summaries_single(spark: SparkSession, sf_dir: str) -> DataFrame:
             percentile=_MBS_PERCENTILE,
         ),
         summarizer_spec=SummarizerSpec(
-            summary_update_period=100,       # decay 0 -> _mark_period no-op
-            decay_rate=0.0,
+            summary_update_period=summary_update_period,
+            decay_rate=decay_rate,           # 0 -> _mark_period no-op
             outlier_item_summary_size=1000,  # >= distinct event_type values
             inlier_item_summary_size=1000,
             min_oi_ratio=0.0,
@@ -1648,14 +1660,60 @@ def q_macrobase_summaries_single(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = make_batch_tail(aggs, tail)
+    num_records = (
+        _r4("num_records").alias("num_records")
+        if round_records  # decayed counts are fractional dyadics
+        else F.col("num_records")
+    )
     return out.filter(F.col("row_type") == "rca").select(
         "seq",
         "window_start_epoch",
         "dim_name",
         "dim_value",
         _r4("support").alias("support"),
-        "num_records",
+        num_records,
         _r4("ratio_to_inliers").alias("ratio_to_inliers"),
+    )
+
+
+# MacroBase SUMMARIZER with NONZERO DECAY (round 6 — the last
+# `no_oracle` machinery, the lazy-decay schedule itself, hash-gated):
+# decay_rate = 0.5 makes every AmortizedMaintenanceCounter operation
+# EXACT IEEE-754 arithmetic. `multiply_all_counts(1-d)` does
+# decay_factor /= 0.5, so decay_factor is always a power of two
+# (amc.py:33-42); `observe` adds count*decay_factor (exact dyadic);
+# `get_counts`/`get_total_count` divide by the power-of-two factor
+# (exact). The effective count of item i at emission tuple T is
+# therefore EXACTLY sum over its observations t<T of
+# 0.5^(floor(T/P) - floor(t/P)) with P = summary_update_period + 1 —
+# a sum of dyadics with LSB 2^-K, K = floor(T_max/P). As long as
+# K + log2(#observations) <= 53 every partial sum is representable,
+# so the value is independent of accumulation order and the DuckDB
+# oracle reproduces it bit-for-bit with integer-shift weights
+# 1.0/(1 << (T//P - t//P)). P = 250 keeps K <= ~24 at the sf0.01
+# gate (~5.9k windows, ~13 bits of observations -> ~37 bits total).
+# Decay order inside process() (summarizer.py:103-121): the period
+# decay at tuple u fires BEFORE u's event is marked and BEFORE an
+# emission at u, so obs weight uses floor(t/P) AFTER t's own decay
+# and an emission at T includes T's own decay — both captured by the
+# floor expressions. The attribute config stays single-dimension, so
+# the FP machinery remains provably inert and ONLY the decay
+# schedule differs from `macrobase_summaries_single`.
+_MBS_DECAY_PERIOD = 250  # summary_update_period = 249
+
+
+def q_macrobase_summaries_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed-summarizer gate: identical chain to
+    q_macrobase_summaries_single but with decay_rate=0.5 and a decay
+    period of 250 tuples (see block comment above). num_records is
+    fractional under decay, so it is 4dp-rounded like the other float
+    columns (exact dyadics -> identical floor both engines)."""
+    return q_macrobase_summaries_single(
+        spark,
+        sf_dir,
+        summary_update_period=_MBS_DECAY_PERIOD - 1,
+        decay_rate=0.5,
+        round_records=True,
     )
 
 
@@ -1989,6 +2047,7 @@ def _macrobase_summaries_single_oracle_sql(
     gen_period: int = _MBS_GEN_PERIOD,
     min_support: float = _MBS_MIN_SUPPORT,
     multi_attr: bool = False,
+    decay_period: int | None = None,
 ) -> str:
     """DuckDB replay of q_macrobase_summaries_single. Layers on top of
     the macrobase_alerts detector chain (same tot/ti/k/train/.../sc/th
@@ -1999,10 +2058,25 @@ def _macrobase_summaries_single_oracle_sql(
     corrected risk ratio of RiskRatio.scala:17-83 — edge order kept:
     te==0/oc==0/tme==0 -> 0, uo==0 -> +inf (emitted, NULL ratio
     column), ui==0 -> NaN correction (row fails `> min_ratio`,
-    dropped; modeled as NULL here, same surviving set)."""
+    dropped; modeled as NULL here, same surviving set).
+
+    With `decay_period` set (= summary_update_period + 1, decay_rate
+    0.5) each observation's contribution to an emission at tuple T is
+    the EXACT dyadic 0.5^(T//P - t//P), built via integer shift so no
+    libm pow is involved (see the decayed block comment above
+    q_macrobase_summaries_decayed)."""
     w1 = warmup - 1
     thr_idx1 = int(percentile * w1) + 1
     period = gen_period + 1
+    if decay_period is None:
+        wexpr = "1.0"
+        num_records_expr = "oc"
+    else:
+        wexpr = (
+            "1.0 / CAST(1::BIGINT << "
+            f"(em.T // {decay_period} - o.t // {decay_period}) AS DOUBLE)"
+        )
+        num_records_expr = "floor(oc*10000 + 0.5)/10000"
     med = (
         "CASE WHEN {n} % 2 = 0 THEN ({L}[{n}//2] + {L}[{n}//2 + 1])/2.0 "
         "ELSE {L}[{n}//2 + 1] END"
@@ -2079,8 +2153,8 @@ obs AS (
 emits AS (SELECT idx AS T, ws FROM ti WHERE idx % {period} = 0),
 cnt AS (
   SELECT em.T, em.ws, o.dname, o.val,
-         CAST(sum(CASE WHEN f.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
-         CAST(sum(CASE WHEN f.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
+         CAST(sum(CASE WHEN f.flag THEN {wexpr} ELSE 0 END) AS DOUBLE) AS oc,
+         CAST(sum(CASE WHEN f.flag THEN 0 ELSE {wexpr} END) AS DOUBLE) AS ic
   FROM emits em
   JOIN obs o ON o.t < em.T
   JOIN flags f ON f.t = o.t
@@ -2109,7 +2183,7 @@ scored AS (
 SELECT T AS seq, ws AS window_start_epoch,
        dname AS dim_name, val AS dim_value,
        floor(oc/tout*10000 + 0.5)/10000 AS support,
-       oc AS num_records,
+       {num_records_expr} AS num_records,
        CASE WHEN isinf(cr) THEN NULL
             ELSE floor(cr*10000 + 0.5)/10000 END AS ratio_to_inliers
 FROM scored
@@ -2342,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
         "macrobase_summaries": q_macrobase_summaries,
         "macrobase_summaries_single": q_macrobase_summaries_single,
+        "macrobase_summaries_decayed": q_macrobase_summaries_decayed,
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
         "macrobase_summaries_pairs": q_macrobase_summaries_pairs,
         "hstrees_alerts": q_hstrees_alerts,
@@ -3411,6 +3486,9 @@ def oracle_sql() -> dict[str, str]:
         "macrobase_alerts": _macrobase_alerts_oracle_sql(),
         "macrobase_alerts_by_key": _macrobase_alerts_by_key_oracle_sql(),
         "macrobase_summaries_single": _macrobase_summaries_single_oracle_sql(),
+        "macrobase_summaries_decayed": _macrobase_summaries_single_oracle_sql(
+            decay_period=_MBS_DECAY_PERIOD
+        ),
         "macrobase_summaries_multiattr": _macrobase_summaries_single_oracle_sql(
             multi_attr=True, min_support=1 / 32
         ),

@@ -6,7 +6,7 @@ point; tests/test_oracle_parity.py covers sf0.001), comparing row
 count, column set, and normalized value multiset. Prints one JSON
 report keyed by query name, same shape as CORRECTNESS_r{N}.json.
 
-Usage: python scripts/correctness_sweep.py [sf_dir]
+Usage: python scripts/correctness_sweep.py [sf_dir] [only1,only2,...]
 """
 
 import json
@@ -58,8 +58,11 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     report = {}
     for name in sorted(qs):
+        if only is not None and name not in only:
+            continue
         rec = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
