@@ -1780,6 +1780,126 @@ def q_hstrees_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hstrees_alerts_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed Half-Space-Trees detector (VERDICT r5 #6): one INDEPENDENT
+    HS-trees instance per event_type in ONE applyInPandas query — the
+    same keyed-tail plumbing as q_macrobase_alerts_by_key, completing
+    the keyed gate set (zscore/MacroBase/HS-trees). Each key carries
+    its own normalization bound (per-key max of the __total__ series —
+    the per-key workspace profile a production stream would configure),
+    its own block counter, and its own previous-block leaf masses; the
+    tree structure (seeded, shared literals with the oracle) is
+    identical across keys, as a production fleet would deploy it.
+    Oracle: the hstrees CTE chain with every window function and block
+    index partitioned by key. Keys with fewer than hs_window+1 windows
+    emit nothing (their first reference block never completes)."""
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        long_form_window_aggs,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+        make_batch_tail,
+    )
+
+    cfg = events_config_single()
+    records = build_typed_records_events_single(spark, sf_dir, cfg)
+    aggs = _q6_aggs(
+        long_form_window_aggs(records, cfg, _MBS_WINDOW_S, None, key="event_type")
+    )
+    mx = aggs.filter(F.col("dim_name") == "__total__").groupBy("tail_key").agg(
+        F.max("dim_sum").alias("_mx")
+    )
+    normed = (
+        aggs.join(F.broadcast(mx), "tail_key")
+        .withColumn(
+            "dim_sum",
+            F.floor(F.col("dim_sum") / F.col("_mx") * 1000000.0 + 0.5) / 1000000.0,
+        )
+        .drop("_mx")
+    )
+    tail = TailConfig(
+        mode="hstrees",
+        hs_lo=0.0,
+        hs_hi=1.0,
+        hs_trees=_HS_TREES,
+        hs_depth=_HS_DEPTH,
+        hs_window=_HS_WINDOW,
+        hs_threshold=_HS_THRESHOLD,
+        hs_seed=_HS_SEED,
+    )
+    out = make_batch_tail(normed, tail, key_col="tail_key")
+    return out.filter(F.col("row_type") == "alert").select(
+        F.col("tail_key").alias("event_type"),
+        "seq",
+        "window_start_epoch",
+        _r4("current").alias("current"),
+        _r4("score").alias("score"),
+        "is_outlier",
+    )
+
+
+def _hstrees_by_key_oracle_sql(
+    window: int = _HS_WINDOW,
+    threshold: float = _HS_THRESHOLD,
+    n_trees: int = _HS_TREES,
+    depth: int = _HS_DEPTH,
+    seed: int = _HS_SEED,
+) -> str:
+    """Keyed twin of _hstrees_oracle_sql: per-key normalization bound,
+    per-key window index / block index, per-key previous-block leaf
+    masses. Same seeded leaf-interval VALUES table for every key."""
+    from online_anomaly_detection_root_cause_analysis_spark.algorithms.hstrees import (
+        hs_tree_intervals,
+    )
+
+    rows = []
+    for t, cuts in enumerate(hs_tree_intervals(n_trees, depth, seed)):
+        bounds = [0.0] + cuts + [2.0]
+        for leaf, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            rows.append(f"({t}, {lo!r}, {hi!r}, {leaf})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH tot AS (
+  SELECT event_type AS kx,
+         CAST(floor(epoch(ts)/{_MBS_WINDOW_S})*{_MBS_WINDOW_S} AS BIGINT) AS ws,
+         floor(sum(value)*1000000 + 0.5)/1000000 AS v
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT kx, max(v) AS m FROM tot GROUP BY kx),
+ti AS (
+  SELECT tot.kx, ws, row_number() OVER (PARTITION BY tot.kx ORDER BY ws) AS idx,
+         floor(v/m*1000000 + 0.5)/1000000 AS x
+  FROM tot JOIN mx ON mx.kx = tot.kx
+),
+leaves(tree, lo, hi, leaf) AS (
+  VALUES
+    {values}
+),
+pt AS (
+  SELECT ti.kx, ti.idx, ti.ws, ti.x, l.tree, l.leaf
+  FROM ti JOIN leaves l ON ti.x >= l.lo AND ti.x < l.hi
+),
+bc AS (
+  SELECT kx, tree, leaf, (idx - 1) // {window} AS b, count(*) AS c
+  FROM pt GROUP BY 1, 2, 3, 4
+),
+sc AS (
+  SELECT p.kx, p.idx, p.ws, p.x,
+         CAST(sum(coalesce(bc.c, 0)) AS DOUBLE) AS score
+  FROM pt p
+  LEFT JOIN bc ON bc.kx = p.kx AND bc.tree = p.tree AND bc.leaf = p.leaf
+              AND bc.b = (p.idx - 1) // {window} - 1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT kx AS event_type, idx AS seq, ws AS window_start_epoch,
+       floor(x*10000 + 0.5)/10000 AS current,
+       floor(score*10000 + 0.5)/10000 AS score,
+       score <= {threshold} AS is_outlier
+FROM sc
+WHERE (idx - 1) // {window} > 0
+"""
+
+
 def build_typed_records_events_single(spark, sf_dir, cfg):
     from online_anomaly_detection_root_cause_analysis_spark.sources.records import (
         build_typed_records,
@@ -2420,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
         "macrobase_summaries_pairs": q_macrobase_summaries_pairs,
         "hstrees_alerts": q_hstrees_alerts,
+        "hstrees_alerts_by_key": q_hstrees_alerts_by_key,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
@@ -3494,6 +3615,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "macrobase_summaries_pairs": _macrobase_summaries_pairs_oracle_sql(),
         "hstrees_alerts": _hstrees_oracle_sql(),
+        "hstrees_alerts_by_key": _hstrees_by_key_oracle_sql(),
         "exact_duplicates": _EXACT_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # near_duplicates (LSH candidates -> exact verify) must find

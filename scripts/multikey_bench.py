@@ -39,6 +39,8 @@ W = int(os.environ.get("MULTIKEY_BENCH_WINDOWS", "1500"))  # per key
 DIMS = int(os.environ.get("MULTIKEY_BENCH_DIMS", "200"))
 RUNS = int(os.environ.get("MULTIKEY_BENCH_RUNS", "3"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# 'macrobase' (default) or 'hstrees' — which detector tail to measure
+MODE = os.environ.get("MULTIKEY_BENCH_MODE", "macrobase")
 
 
 def _aggs_frame(keyed: bool):
@@ -118,14 +120,24 @@ def _run_variant(keyed: bool, work_dir: str) -> dict:
         )
         time.sleep(0.05)
 
-    tail = TailConfig(
-        mode="macrobase",
-        rca_mode="simple",
-        detector_spec=EWFeatureSpec(
-            warmup_count=100, sample_size=1000, decay_period=100,
-            decay_rate=0.01, training_period=100, percentile=0.95,
-        ),
-    )
+    if MODE == "hstrees":
+        # totals span ~[50, 50050]; hs_hi just above the max so every
+        # point lands in-workspace (same normalization role as the
+        # per-key max bound in q_hstrees_alerts_by_key)
+        tail = TailConfig(
+            mode="hstrees", hs_lo=0.0, hs_hi=50100.0,
+            hs_trees=8, hs_depth=6, hs_window=32, hs_threshold=8.0,
+            hs_seed=5,
+        )
+    else:
+        tail = TailConfig(
+            mode="macrobase",
+            rca_mode="simple",
+            detector_spec=EWFeatureSpec(
+                warmup_count=100, sample_size=1000, decay_period=100,
+                decay_rate=0.01, training_period=100, percentile=0.95,
+            ),
+        )
     cfg = EngineConfig("ts", "value", [DimensionSpec("dim_0", group="g")])
     job = StreamingJob(
         work_dir=work_dir, cfg=cfg, tail=tail,
@@ -196,16 +208,25 @@ def main() -> None:
         rows_to_windows,
     )
 
-    tail = StreamingTail(
-        TailConfig(
-            mode="macrobase",
-            rca_mode="simple",
-            detector_spec=EWFeatureSpec(
-                warmup_count=100, sample_size=1000, decay_period=100,
-                decay_rate=0.01, training_period=100, percentile=0.95,
-            ),
+    if MODE == "hstrees":
+        tail = StreamingTail(
+            TailConfig(
+                mode="hstrees", hs_lo=0.0, hs_hi=50100.0,
+                hs_trees=8, hs_depth=6, hs_window=32, hs_threshold=8.0,
+                hs_seed=5,
+            )
         )
-    )
+    else:
+        tail = StreamingTail(
+            TailConfig(
+                mode="macrobase",
+                rca_mode="simple",
+                detector_spec=EWFeatureSpec(
+                    warmup_count=100, sample_size=1000, decay_period=100,
+                    decay_rate=0.01, training_period=100, percentile=0.95,
+                ),
+            )
+        )
     pdf1 = _aggs_frame(False)
     pdf1 = pdf1[pdf1["window_start_epoch"] < 1704067200 + W * 60]  # one key's share
     t0 = _time.time()
@@ -221,6 +242,7 @@ def main() -> None:
              "windows_per_sec": med("keyed", "windows_per_sec")}
     print(json.dumps({
         "metric": "detect_stage_throughput",
+        "mode": MODE,
         "cpus": CPUS, "keys": K, "windows_per_key": W, "dims": DIMS,
         "runs": RUNS, "aggregation": "median over fresh-JVM runs, interleaved",
         "single_key": single, "multi_key": keyed,
