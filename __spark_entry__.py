@@ -427,18 +427,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing over a corpus with PLANTED identifiers (the
-    fixture text carries none): doc_id%3==0 gets an email appended,
-    %3==1 a phone-shaped number, %3==2 stays clean — so the gate sees
-    redactions firing, counts by type, and untouched docs. The oracle
-    replants identically from doc_id and re-runs the same RE2-safe
-    patterns (operators/textstats.py::redact_pii)."""
+    """PII scrubbing over a corpus with PLANTED identifiers of all
+    four classes (the fixture text carries none): doc_id%5==0 gets an
+    email appended, %5==1 a phone-shaped number, %5==2 an IPv4
+    address, %5==3 a 16-digit card-shaped number whose LAST digit is
+    doc_id%10 — so Luhn validity varies naturally across docs (~10%
+    valid) and the operator's checksum math, not the plant, decides
+    n_cards_valid — and %5==4 stays clean. The oracle replants
+    identically from doc_id and re-runs the same RE2-safe patterns +
+    Luhn replay (operators/textstats.py::redact_pii)."""
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
         redact_pii,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    branch = F.col("doc_id") % 3
+    branch = F.col("doc_id") % 5
     planted = docs.select(
         "doc_id",
         F.when(
@@ -459,6 +462,27 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("-"),
                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
                 F.lit(" now"),
+            ),
+        )
+        .when(
+            branch == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.floor(F.col("doc_id") / 7) % 256).cast("string"),
+                F.lit(" seen"),
+            ),
+        )
+        .when(
+            branch == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" card 4"),
+                F.lpad((F.col("doc_id") % 100000000).cast("string"), 14, "0"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(" ok"),
             ),
         )
         .otherwise(F.col("text"))
@@ -2903,18 +2927,33 @@ GROUP BY 1, 2
 
 def _pii_redaction_oracle_sql() -> str:
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        CARD_RE,
         EMAIL_RE,
+        IPV4_RE,
         PHONE_RE,
     )
 
     e, p = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    ip, cd = IPV4_RE.replace("'", "''"), CARD_RE.replace("'", "''")
+    # verbatim replay of textstats._luhn_valid over the candidate list
+    luhn = (
+        "list_sum(list_transform(range(1,17), i -> "
+        "CASE WHEN i % 2 = 1 THEN "
+        "CASE WHEN CAST(c2[i] AS INT)*2 > 9 THEN CAST(c2[i] AS INT)*2 - 9 "
+        "ELSE CAST(c2[i] AS INT)*2 END "
+        "ELSE CAST(c2[i] AS INT) END)) % 10 = 0"
+    )
     return f"""
 WITH planted AS (
   SELECT doc_id,
-         CASE doc_id % 3
+         CASE doc_id % 5
            WHEN 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com pls'
            WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+           WHEN 2 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) || ' seen'
+           WHEN 3 THEN text || ' card 4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0')
+                        || CAST(doc_id % 10 AS VARCHAR) || ' ok'
            ELSE text
          END AS text
   FROM documents
@@ -2923,11 +2962,16 @@ red AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '{e}')) AS n_emails,
          len(regexp_extract_all(text, '{p}')) AS n_phones,
-         regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
-                        '{p}', '<PHONE>', 'g') AS r
+         len(regexp_extract_all(text, '{ip}')) AS n_ips,
+         regexp_extract_all(text, '{cd}') AS cards,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'),
+             '{ip}', '<IP>', 'g'), '{cd}', '<CARD>', 'g') AS r
   FROM planted
 )
-SELECT doc_id, n_emails, n_phones,
+SELECT doc_id, n_emails, n_phones, n_ips,
+       len(cards) AS n_cards,
+       len(list_filter(cards, c2 -> {luhn})) AS n_cards_valid,
        sha256(r) AS redacted_sha,
        length(r) AS redacted_len
 FROM red

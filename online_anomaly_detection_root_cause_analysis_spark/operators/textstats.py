@@ -660,30 +660,79 @@ def blocklist_filter(
 # quantifiers only — no backrefs, no lookaround
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+# \b keeps longer digit runs (17+) from yielding a match; RE2-safe
+# (no lookaround), identical ASCII \b semantics in Java regex & RE2
+IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+CARD_RE = r"\b[0-9]{16}\b"
+
+
+def _luhn_valid(c):
+    """Luhn checksum over a 16-digit string column — pure JVM column
+    math (aggregate over a position sequence; doubling every second
+    digit from the right, i.e. odd 1-based left positions for length
+    16), mirrored verbatim in the DuckDB oracle. No UDF."""
+    def d(i):
+        return F.substr(c, i, F.lit(1)).cast("int")
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 1, F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2)
+        ).otherwise(d(i)),
+    )
+    return s % 10 == 0
 
 
 def redact_pii(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """PII scrubbing — the redaction stage of a webtext pipeline:
-    emails and phone-shaped numbers replaced with typed placeholders,
-    with per-document match counts for audit. Pure JVM regexp column
-    ops (regexp_extract_all + regexp_replace), map-side, zero shuffle;
-    the patterns are deliberately backref/lookaround-free so engines
-    with RE2-class matchers (and the DuckDB oracle) agree byte-for-
-    byte. Emits the redacted text's sha256 + length rather than the
-    text itself (the gate checks the transformation, the pipeline
-    would write the redacted column)."""
+    emails, phone-shaped numbers, IPv4 addresses, and 16-digit
+    card-shaped numbers replaced with typed placeholders, with
+    per-document match counts for audit. Pure JVM regexp column ops
+    (regexp_extract_all + regexp_replace) plus a no-UDF Luhn checksum
+    (aggregate over digit positions), map-side, zero shuffle; the
+    patterns are deliberately backref/lookaround-free so engines with
+    RE2-class matchers (and the DuckDB oracle) agree byte-for-byte.
+
+    Card policy: redaction is CONSERVATIVE — every card-SHAPED number
+    is replaced (a number that fails Luhn is still a 16-digit string
+    you don't want shipped) — while the audit columns split the count
+    into shape matches (n_cards) and Luhn-valid matches
+    (n_cards_valid), which is what a compliance report needs. Emits
+    the redacted text's sha256 + length rather than the text itself
+    (the gate checks the transformation, the pipeline would write the
+    redacted column)."""
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
     n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    cards = F.regexp_extract_all(t, F.lit(CARD_RE), F.lit(0))
+    n_cards = F.size(cards)
+    n_cards_valid = F.size(F.filter(cards, _luhn_valid))
     red = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+            IPV4_RE,
+            "<IP>",
+        ),
+        CARD_RE,
+        "<CARD>",
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        n_cards.cast("long").alias("n_cards"),
+        n_cards_valid.cast("long").alias("n_cards_valid"),
         F.sha2(red, 256).alias("redacted_sha"),
         F.length(red).cast("long").alias("redacted_len"),
     )

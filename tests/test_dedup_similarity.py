@@ -675,13 +675,16 @@ def test_near_dup_clusters_constructed_graph(spark):
 def test_redact_pii_adversarial_parity(spark):
     """redact_pii's cross-engine guarantee on ADVERSARIAL inputs (the
     driver fixture is benign): consecutive @s, trailing dots, phone
-    inside longer digit runs, email abutting a phone, unicode — Spark
-    (Java regex) and DuckDB (RE2) must agree byte-for-byte on counts
-    and redacted text."""
+    inside longer digit runs, email abutting a phone, unicode, IPv4
+    octet-boundary and overlong forms, 15/16/17-digit runs and the
+    Luhn valid/invalid boundary — Spark (Java regex) and DuckDB (RE2)
+    must agree byte-for-byte on counts and redacted text."""
     import duckdb
 
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        CARD_RE,
         EMAIL_RE,
+        IPV4_RE,
         PHONE_RE,
         redact_pii,
     )
@@ -696,27 +699,56 @@ def test_redact_pii_adversarial_parity(spark):
         "...@...com 00-00-0000 555-12-34567",
         "tail@x.yz",
         "",
+        "ip 255.255.255.255 and 256.1.1.1 and 1.2.3.4.5",  # octet bounds, 5 dotted groups
+        "v1.2.3 released at 10.0.0.1:8080",                # version-ish vs real ip w/ port
+        "0.0.0.0 and 00.1.2.3 and 1.2.3.04",               # leading-zero octets
+        "4111111111111111 pays",                            # Luhn-valid card
+        "4111111111111112 fails",                           # Luhn-invalid, still card-shaped
+        "41111111111111112 17digits 411111111111111 15digits",  # \b guards
+        "card 4111-1111-1111-1111 dashed",                  # dashed form NOT matched (policy)
+        "5500005555555559 and 4111111111111111 two cards",
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
     )
     got = {
-        r.doc_id: (r.n_emails, r.n_phones, r.redacted_sha, r.redacted_len)
+        r.doc_id: (
+            r.n_emails, r.n_phones, r.n_ips, r.n_cards, r.n_cards_valid,
+            r.redacted_sha, r.redacted_len,
+        )
         for r in redact_pii(docs).collect()
     }
     duck = duckdb.connect()
     e, p = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    ip, cd = IPV4_RE.replace("'", "''"), CARD_RE.replace("'", "''")
+    luhn = (
+        "list_sum(list_transform(range(1,17), i -> "
+        "CASE WHEN i % 2 = 1 THEN "
+        "CASE WHEN CAST(c2[i] AS INT)*2 > 9 THEN CAST(c2[i] AS INT)*2 - 9 "
+        "ELSE CAST(c2[i] AS INT)*2 END "
+        "ELSE CAST(c2[i] AS INT) END)) % 10 = 0"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"?, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), "
+        f"'{ip}', '<IP>', 'g'), '{cd}', '<CARD>', 'g')"
+    )
     for i, t in enumerate(cases):
-        ne, np_, sha, ln = duck.execute(
+        want = duck.execute(
             f"""SELECT len(regexp_extract_all(?, '{e}')),
                        len(regexp_extract_all(?, '{p}')),
-                       sha256(regexp_replace(regexp_replace(?, '{e}', '<EMAIL>', 'g'),
-                                             '{p}', '<PHONE>', 'g')),
-                       length(regexp_replace(regexp_replace(?, '{e}', '<EMAIL>', 'g'),
-                                             '{p}', '<PHONE>', 'g'))""",
-            [t, t, t, t],
+                       len(regexp_extract_all(?, '{ip}')),
+                       len(regexp_extract_all(?, '{cd}')),
+                       len(list_filter(regexp_extract_all(?, '{cd}'), c2 -> {luhn})),
+                       sha256({red}), length({red})""",
+            [t] * 7,
         ).fetchone()
-        assert got[i] == (ne, np_, sha, ln), (i, t, got[i], (ne, np_, sha, ln))
+        assert got[i] == tuple(want), (i, t, got[i], want)
+    # the Luhn boundary cases land as intended, not just as parity
+    assert got[12][3:5] == (1, 1)   # valid card: shape 1, valid 1
+    assert got[13][3:5] == (1, 0)   # invalid card: shape 1, valid 0
+    assert got[14][3] == 0          # 17- and 15-digit runs: no shape match
+    assert got[16][3:5] == (2, 2)   # both test numbers Luhn-valid
 
 
 def test_decontaminate_constructed_corpus(spark):
