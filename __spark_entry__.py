@@ -393,36 +393,128 @@ _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75}
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END curation composition — the pipeline a webtext user
-    actually runs, in ONE Catalyst plan: Gopher quality gate (map-side)
-    -> exact dedup survivor selection (one sha256 shuffle, keep the
-    min-doc_id representative) -> deterministic stratified sampling
-    (map-side). Demonstrates the operators compose without
-    materialization barriers; output is the final kept set with its
-    sampling evidence."""
+    """END-TO-END curation composition — the FULL production pipeline
+    a webtext user actually runs, in ONE Catalyst plan (r5 VERDICT #8):
+
+      quality -> decontaminate -> line_dedup -> PII-redact ->
+      exact dedup -> stratified sample
+
+    Stage notes. The corpus is planted with the line_dedup query's
+    boilerplate (%4) AND the pii query's identifiers (%5) so every
+    stage does real work. Decontamination drops any doc sharing an
+    8-gram with the planted benchmark (every %25 doc — eval docs
+    self-hit and leave the training set, which is the intended
+    semantics). Redaction runs BEFORE dedup on purpose: per-copy
+    identifiers (emails, ids) are exactly what defeats content-level
+    exact dedup, and redacting first normalizes them away, so
+    boilerplate-stripped near-copies that differ only in planted PII
+    collapse to one representative. The dedup key is redacted_sha
+    (sha256 of the redacted text — already computed by redact_pii).
+    All map-side stages stay map-side; the shuffles are the line-df
+    count, the gram rollup, the redacted-sha window, and the final
+    doc_id joins — no Python anywhere (BatchEvalPython-free,
+    plan-asserted in tests/test_plans.py)."""
     from pyspark.sql import Window as W
 
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        decontaminate,
         deterministic_stratified_sample,
         gopher_quality_filter,
+        line_dedup_text,
+        redact_pii,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    passed = docs.join(
-        gopher_quality_filter(docs).filter(F.col("passes")).select("doc_id"),
+    # plant: line structure (+boilerplate for %4) then a PII suffix
+    l1 = F.substring(F.col("text"), 1, 60)
+    l2 = F.substring(F.col("text"), 61, 1000000)
+    nl = F.lit("\n")
+    boiler = F.lit("subscribe to our newsletter today")
+    lines = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(l1, nl, boiler, nl, l2)
+    ).otherwise(F.concat(l1, nl, l2))
+    branch = F.col("doc_id") % 5
+    pii_suffix = (
+        F.when(
+            branch == 0,
+            F.concat(
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com pls"),
+            ),
+        )
+        .when(
+            branch == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            branch == 2,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.floor(F.col("doc_id") / 7) % 256).cast("string"),
+                F.lit(" seen"),
+            ),
+        )
+        .when(
+            branch == 3,
+            F.concat(
+                F.lit(" card 4"),
+                F.lpad((F.col("doc_id") % 100000000).cast("string"), 14, "0"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(" ok"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", "lang", F.concat(lines, pii_suffix).alias("text")
+    )
+    # 1. quality gate (map-side)
+    q = planted.join(
+        gopher_quality_filter(planted).filter(F.col("passes")).select("doc_id"),
         "doc_id",
         "left_semi",
     )
-    h = passed.select(
-        "doc_id", "lang", F.sha2(F.col("text"), 256).alias("_h")
+    # 2. benchmark decontamination (broadcast gram probe)
+    bench = planted.filter(F.col("doc_id") % 25 == 0).select("text")
+    dec = q.join(
+        decontaminate(q, bench, n=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
     )
+    # 3. line-level dedup (df over the surviving corpus)
+    ld = dec.select("doc_id", "lang").join(
+        line_dedup_text(dec, max_df=3), "doc_id"
+    )
+    # 4. PII redaction (map-side; yields the dedup key redacted_sha)
+    red = ld.join(
+        redact_pii(ld.select("doc_id", F.col("clean_text").alias("text"))).select(
+            "doc_id", "redacted_sha", "redacted_len"
+        ),
+        "doc_id",
+    )
+    # 5. exact dedup on the REDACTED text, min-doc_id representative
     kept = (
-        h.withColumn("_mn", F.min("doc_id").over(W.partitionBy("_h")))
+        red.withColumn("_mn", F.min("doc_id").over(W.partitionBy("redacted_sha")))
         .filter(F.col("doc_id") == F.col("_mn"))
-        .select("doc_id", "lang")
+        .select("doc_id", "lang", "redacted_sha", "redacted_len")
     )
-    return deterministic_stratified_sample(
-        kept, rates=_SAMPLE_RATES, default_rate=0.1
+    # 6. deterministic stratified sample
+    sampled = deterministic_stratified_sample(
+        kept.select("doc_id", "lang"), rates=_SAMPLE_RATES, default_rate=0.1
+    )
+    return sampled.join(
+        kept.select("doc_id", "redacted_sha", "redacted_len"), "doc_id"
     )
 
 
@@ -3225,12 +3317,46 @@ GROUP BY host, domain
 
 
 def _curation_pipeline_oracle_sql() -> str:
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        CARD_RE,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
     cases = " ".join(
         f"WHEN '{lang}' THEN {rate!r}" for lang, rate in sorted(_SAMPLE_RATES.items())
     )
     key = _sha60("'doc-' || CAST(doc_id AS VARCHAR)")
+    e, p = EMAIL_RE.replace("'", "''"), PHONE_RE.replace("'", "''")
+    ip, cd = IPV4_RE.replace("'", "''"), CARD_RE.replace("'", "''")
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"clean_text, '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), "
+        f"'{ip}', '<IP>', 'g'), '{cd}', '<CARD>', 'g')"
+    )
     return f"""
-WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+WITH planted AS (
+  SELECT doc_id, lang,
+    (CASE WHEN doc_id % 4 = 0
+      THEN substr(text, 1, 60) || chr(10)
+           || 'subscribe to our newsletter today' || chr(10)
+           || substr(text, 61, 1000000)
+      ELSE substr(text, 1, 60) || chr(10) || substr(text, 61, 1000000)
+    END)
+    || (CASE doc_id % 5
+      WHEN 0 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com pls'
+      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+      WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) || ' seen'
+      WHEN 3 THEN ' card 4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0')
+                   || CAST(doc_id % 10 AS VARCHAR) || ' ok'
+      ELSE ''
+    END) AS text
+  FROM documents
+),
+w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM planted),
 q AS (
   SELECT doc_id, lang, text FROM w
   WHERE len(ws) BETWEEN 40 AND 100000
@@ -3238,19 +3364,56 @@ q AS (
         / len(ws) BETWEEN 3.0 AND 10.0
     AND len(list_intersect(ws, ['the', 'a', 'an', 'and', 'or'])) >= 2
 ),
-d AS (
-  SELECT doc_id, lang,
-         min(doc_id) OVER (PARTITION BY sha256(text)) AS mn
-  FROM q
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM q) g,
+       UNNEST(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8
 ),
-k AS (SELECT doc_id, lang FROM d WHERE doc_id = mn),
+bgrams AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS ws FROM planted WHERE doc_id % 25 = 0) b,
+       UNNEST(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8
+),
+contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bgrams USING (gram)),
+dec AS (
+  SELECT q.* FROM q LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
+),
+split_docs AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM dec),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS line
+  FROM split_docs, UNNEST(range(1, len(l) + 1)) AS t(i)
+),
+df AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+kept_lines AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM lines JOIN df USING (line)
+  WHERE line_df <= 3
+  GROUP BY doc_id
+),
+ld AS (
+  SELECT d.doc_id, d.lang, COALESCE(k.clean_text, '') AS clean_text
+  FROM dec d LEFT JOIN kept_lines k USING (doc_id)
+),
+red AS (
+  SELECT doc_id, lang, sha256({red}) AS redacted_sha,
+         length({red}) AS redacted_len
+  FROM ld
+),
+dd AS (
+  SELECT doc_id, lang, redacted_sha, redacted_len,
+         min(doc_id) OVER (PARTITION BY redacted_sha) AS mn
+  FROM red
+),
+k AS (SELECT doc_id, lang, redacted_sha, redacted_len FROM dd WHERE doc_id = mn),
 b AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, redacted_sha, redacted_len,
          {key} % 10000 AS sample_bucket,
          CAST(floor((CASE lang {cases} ELSE 0.1 END) * 10000) AS BIGINT) AS keep_below
   FROM k
 )
-SELECT doc_id, lang, sample_bucket, keep_below
+SELECT doc_id, lang, sample_bucket, keep_below, redacted_sha, redacted_len
 FROM b WHERE sample_bucket < keep_below
 """
 

@@ -630,6 +630,50 @@ def line_dedup(
     )
 
 
+def line_dedup_text(
+    docs: DataFrame,
+    max_df: int = 3,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """line_dedup variant that RETURNS the cleaned text — the shape a
+    pipeline stage needs (line_dedup itself emits audit sha/len for
+    the hash gate). Same plan: posexplode -> one count_distinct
+    shuffle on the line key -> order-preserving array_sort reassembly;
+    a document whose every line was boilerplate survives with empty
+    clean_text (the downstream dedup stage collapses those)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    line_df = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    kept = (
+        lines.join(line_df, "line")
+        .filter(F.col("line_df") <= max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def blocklist_filter(
     pages: DataFrame,
     blocklist: DataFrame,
