@@ -654,10 +654,14 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer training: first 5 BPE merge rules learned from the
+    """Tokenizer training: first 16 BPE merge rules learned from the
     corpus (distinct-word vocab + frequencies, one pair-count shuffle
-    per round, single-row argmax collect, map-side replace). Oracle:
-    the same 5 rounds UNROLLED as DuckDB CTEs — identical char split,
+    per round, single-row argmax collect, map-side replace). 16 rounds
+    (r5 VERDICT #5) puts the gate past the toy regime: merged symbols
+    re-enter the pair statistics and later rules merge PRIOR MERGE
+    PRODUCTS (asserted in tests/test_dedup_similarity.py — the
+    interesting BPE case a 5-merge run never reaches). Oracle:
+    the same 16 rounds UNROLLED as DuckDB CTEs — identical char split,
     weighted pair counts, (count desc, left, right) tiebreak, and
     byte-identical single-pass replace semantics (probed: both engines
     resume scanning after each replacement)
@@ -667,7 +671,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_merges(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=5
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=16
     )
 
 
@@ -3129,21 +3133,25 @@ GROUP BY event_type
 """
 
 
-def _bpe_merges_oracle_sql(n: int = 5) -> str:
-    """The engine's 5 BPE rounds UNROLLED as chained CTEs: s{r} is the
+def _bpe_merges_oracle_sql(n: int = 16) -> str:
+    """The engine's 16 BPE rounds UNROLLED as chained CTEs: s{r} is the
     symbolized weighted vocab after r merges, p{r} the weighted pair
     counts, b{r} the round's argmax rule. Replace semantics are the
     byte-identical single-pass scan both engines implement; SUM is
     cast back to BIGINT (DuckDB widens to HUGEINT)."""
     ctes = [
-        "v AS (SELECT word, COUNT(*) AS w FROM"
+        "v AS MATERIALIZED (SELECT word, COUNT(*) AS w FROM"
         " (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
         " GROUP BY word)",
-        "s0 AS (SELECT w, array_to_string(string_split(word, ''), ' ') AS seq FROM v)",
+        "s0 AS MATERIALIZED"
+        " (SELECT w, array_to_string(string_split(word, ''), ' ') AS seq FROM v)",
     ]
+    # MATERIALIZED keeps DuckDB from re-inlining each round's CTE into
+    # the next (16 chained rounds re-expand the base scan enough to
+    # exhaust file handles, and re-derivation cost grows per round)
     for r in range(n):
         ctes.append(
-            f"p{r} AS (SELECT s[i] AS l, s[i+1] AS r, SUM(w) AS c"
+            f"p{r} AS MATERIALIZED (SELECT s[i] AS l, s[i+1] AS r, SUM(w) AS c"
             f" FROM (SELECT w, string_split(seq, ' ') AS s FROM s{r}) q{r},"
             f" UNNEST(range(1, len(s))) AS t(i)"
             f" GROUP BY 1, 2)"
@@ -3154,7 +3162,7 @@ def _bpe_merges_oracle_sql(n: int = 5) -> str:
         )
         if r < n - 1:
             ctes.append(
-                f"s{r + 1} AS (SELECT w, trim(replace(' ' || seq || ' ',"
+                f"s{r + 1} AS MATERIALIZED (SELECT w, trim(replace(' ' || seq || ' ',"
                 f" ' ' || (SELECT l FROM b{r}) || ' ' || (SELECT r FROM b{r}) || ' ',"
                 f" ' ' || (SELECT l FROM b{r}) || (SELECT r FROM b{r}) || ' ')) AS seq"
                 f" FROM s{r})"

@@ -872,3 +872,27 @@ def test_bpe_merges_constructed_corpus(spark):
         (3, "aa", "aa", "aaaa", 2),
         (4, "a", "b", "ab", 1),
     ]
+
+
+def test_bpe_merges_driver_gate_reaches_recursive_merges(spark):
+    """The driver gate's operating point (16 merges over the sf0.001
+    fixture corpus) must exercise the interesting BPE case: at least
+    one learned rule whose left or right side is itself a PRIOR merge
+    product (r5 VERDICT #5 — a 5-merge run never got there). Also
+    asserts the merge chain is well-formed: every multi-char side
+    appears as an earlier rule's merged symbol."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["bpe_merges"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 16
+    produced = set()
+    recursive = 0
+    for r in sorted(rows, key=lambda r: r["rank"]):
+        for side in (r["left"], r["right"]):
+            if len(side) > 1:
+                recursive += 1
+                assert side in produced, (r["rank"], side)
+        produced.add(r["merged"])
+    assert recursive >= 1, "no merge consumed a prior merge product"
