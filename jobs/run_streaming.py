@@ -176,6 +176,19 @@ def main() -> None:
         "GPT-3 §C convention; smaller for short-document corpora)",
     )
     ap.add_argument(
+        "--fuzzy-dedup-col", default=None,
+        help="page text column to run the streaming MinHash-LSH "
+        "fuzzy-dedup candidate stage over (e.g. text): a third query "
+        "writes near-dup candidate pairs (keyed by xxhash64(url)) to "
+        "<work>/near_dup_candidates for the offline verify/cluster "
+        "jobs; state is band-bucket-keyed and bounded by the "
+        "--fuzzy-watermark span",
+    )
+    ap.add_argument(
+        "--fuzzy-watermark", default="1 hour",
+        help="event-time span fuzzy-dedup candidate state lives for",
+    )
+    ap.add_argument(
         "--hierarchy-from-data", action="store_true",
         help="resolve hierarchical-RCA parent values from per-window "
         "co-occurrence (parent = independent record field) instead of "
@@ -194,6 +207,8 @@ def main() -> None:
         with_hierarchy=args.hierarchy_from_data, key=args.key,
         dedup_col=args.dedup_col,
         pre_filter=args.pre_filter,
+        fuzzy_dedup_col=args.fuzzy_dedup_col,
+        fuzzy_watermark=args.fuzzy_watermark,
     )
     pages = read_pages_stream(spark, args.input, args.max_files_per_trigger)
     if args.decontaminate_against:
@@ -206,7 +221,14 @@ def main() -> None:
     stream = build_page_records(pages, cfg)
     q1 = job.start_aggregate_query(stream)
     q2 = job.start_detect_query(spark)
-    print(f"aggregate={q1.id} detect={q2.id}; alerts -> {job.alerts_dir}, rca -> {job.rca_dir}")
+    extra = ""
+    if args.fuzzy_dedup_col:
+        q3 = job.start_lsh_candidates_query(pages)
+        extra = f" lsh_candidates={q3.id} -> {job.candidates_dir},"
+    print(
+        f"aggregate={q1.id} detect={q2.id};{extra} "
+        f"alerts -> {job.alerts_dir}, rca -> {job.rca_dir}"
+    )
     spark.streams.awaitAnyTermination()
 
 

@@ -211,15 +211,64 @@ def minhash_signatures(
     return mins.select("doc_id", sig.alias("signature"))
 
 
-def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def minhash_signature_expr(
+    text,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 7,
+    token_hash: str = "xxhash64",
+):
+    """EXPRESSION-ONLY minhash signature (no shuffle, no window) —
+    the streaming-safe twin of `minhash_signatures`: non-time window
+    functions are illegal on streams, so the lead()-chain shingle
+    hashing is re-expressed as higher-order array functions over the
+    per-row token array. Bit-identical output to the batch version
+    (same token hash, same 1000003-chain mod MERSENNE_P, same
+    universal-hash params — asserted in tests); docs with fewer than
+    `n` tokens yield NULL (the batch version emits no row for them —
+    callers filter). HOFs evaluate interpreted per element, which the
+    batch path deliberately avoids at scan scale (see
+    minhash_signatures' plan note); at STREAM rates the per-row cost
+    is irrelevant and shuffle-freedom is what matters."""
+    params = _minhash_params(num_hashes, seed)
+    toks = F.split(F.trim(text), r"\s+")
+    th = F.transform(
+        toks, lambda t: F.pmod(_token_hash_col(t, token_hash), F.lit(MERSENNE_P))
+    )
+
+    def shingle(i):
+        c = F.element_at(th, i)
+        for k in range(1, n):
+            c = F.pmod(
+                c * F.lit(1_000_003) + F.element_at(th, i + F.lit(k)),
+                F.lit(MERSENNE_P),
+            )
+        return c
+
+    sh = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), shingle)
+
+    def perm(a, b):
+        # closure factory, NOT default args: F.transform dispatches on
+        # lambda arity, and `lambda h, a=a, b=b` is the 3-arg form
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+
+    mins = [F.array_min(F.transform(sh, perm(a, b))) for (a, b) in params]
+    return F.when(F.size(toks) >= n, F.array(*mins))
+
+
+def banded_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int, extra_cols: tuple = ()
+) -> DataFrame:
     """(doc_id, signature, band_idx, band_hash) rows: each signature
     exploded into its LSH bands, band key compressed with xxhash64
     (equal tuples hash equal, so pair sets are unchanged). Shared by
-    minhash_lsh_pairs and the operating-point margin test."""
+    minhash_lsh_pairs, the streaming LSH stage (which passes its event
+    time through `extra_cols`), and the operating-point margin test."""
     rows_per_band = num_hashes // bands
     return sigs.select(
         "doc_id",
         "signature",
+        *extra_cols,
         F.explode(
             F.array(
                 *[
@@ -239,7 +288,7 @@ def banded_signatures(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "signature", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "signature", *extra_cols, "band.band_idx", "band.band_hash")
 
 
 def minhash_lsh_pairs(
@@ -478,6 +527,152 @@ def streaming_exact_dedup(
             ["content_sha"]
         )
     return out.dropDuplicates(["content_sha"])
+
+
+_LSH_OUT_SCHEMA = (
+    "doc_a long, doc_b long, band_idx int, band_hash long, event_ts timestamp"
+)
+# parallel arrays of (doc_id, event-time ms) — plain natives, no pickle
+_LSH_STATE_SCHEMA = "ids array<long>, tss array<long>"
+
+
+def _make_lsh_bucket_fn(ttl_ms: int):
+    """Stateful per-bucket pairing fn for streaming_minhash_lsh. State
+    per (band_idx, band_hash) group: the docs seen in that bucket
+    whose event time is within the watermark span. Each arriving doc
+    emits one candidate row per doc already in the bucket, then joins
+    it. Entries older than `watermark - ttl` are pruned on every
+    update and the whole bucket's state times out (EventTimeTimeout)
+    once the watermark passes its newest entry + ttl — the SAME
+    bounded-state argument as dropDuplicatesWithinWatermark, at bucket
+    granularity. The per-doc Python here iterates BUCKET members (a
+    handful by the max_group argument), not corpus rows."""
+    import pandas as pd
+
+    cols = ["doc_a", "doc_b", "band_idx", "band_hash", "event_ts"]
+
+    def fn(key, pdf_iter, state):
+        band_idx, band_hash = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            ids, tss = list(state.get[0]), list(state.get[1])
+        else:
+            ids, tss = [], []
+        news = []
+        for pdf in pdf_iter:
+            for did, ts in zip(pdf["doc_id"], pdf["event_ts"]):
+                news.append((int(did), ts))
+        # deterministic processing order inside the micro-batch
+        news.sort(key=lambda x: (x[1], x[0]))
+        rows = []
+        for did, ts in news:
+            for pid in ids:
+                rows.append((pid, did, band_idx, band_hash, ts))
+            ids.append(did)
+            tss.append(int(ts.value // 1_000_000))  # ns -> ms
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            keep = [(i, t) for i, t in zip(ids, tss) if t + ttl_ms >= wm]
+            ids = [i for i, _ in keep]
+            tss = [t for _, t in keep]
+        if ids:
+            state.update((ids, tss))
+            state.setTimeoutTimestamp(max(max(tss) + ttl_ms, wm + 1))
+        else:
+            state.remove()
+        yield pd.DataFrame(rows, columns=cols)
+
+    return fn
+
+
+def streaming_minhash_lsh(
+    records: DataFrame,
+    ts: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    watermark: str = "1 hour",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """STREAMING fuzzy dedup — the MinHash-LSH candidate stage running
+    inside the ingest stream (r5 VERDICT #3): each document's
+    signature is computed with the expression-only
+    `minhash_signature_expr` (shuffle-free, bit-identical to the batch
+    signatures), exploded to its LSH bands, and matched against the
+    band bucket's state; every collision with a doc seen in the same
+    bucket within the watermark span emits a near-duplicate CANDIDATE
+    pair (doc_a = earlier, doc_b = later, plus the band that fired).
+
+    Candidates — not drops — are the correct streaming primitive:
+    LSH candidacy needs exact-Jaccard verification, and a per-doc
+    any-band rollup would be a second stateful operator in the same
+    query (illegal) for a decision the batch verify job makes anyway.
+    Production topology: this stage writes the candidate table online
+    (see StreamingJob.start_lsh_candidates_query); `near_duplicates`-
+    style verification and `near_dup_clusters` consume it offline —
+    the same two-job split the batch docstrings already prescribe.
+
+    State is bounded by (buckets live in one watermark span) x
+    (bucket occupancy), the streaming analogue of minhash_lsh_pairs'
+    max_group cap; a pair whose earlier doc expired re-admits — the
+    documented dropDuplicatesWithinWatermark contract, fuzzy edition.
+
+    On a BATCH frame (the parity twin) it degenerates to the
+    band-bucket self-join with (earlier ts, then lower id) ordering —
+    tests assert streaming == batch on a planted near-dup stream."""
+    import pandas as pd
+
+    sig = minhash_signature_expr(F.col(text_col), n, num_hashes, seed, token_hash)
+    base = records.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts).alias("event_ts"),
+        sig.alias("signature"),
+    )
+    if not records.isStreaming:
+        banded = banded_signatures(base, num_hashes, bands, extra_cols=("event_ts",))
+        a, b = banded.alias("a"), banded.alias("b")
+        earlier = (F.col("a.event_ts") < F.col("b.event_ts")) | (
+            (F.col("a.event_ts") == F.col("b.event_ts"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & earlier
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.band_idx").alias("band_idx"),
+                F.col("a.band_hash").alias("band_hash"),
+                F.col("b.event_ts").alias("event_ts"),
+            )
+        )
+    ttl_ms = int(pd.Timedelta(watermark).total_seconds() * 1000)
+    banded = banded_signatures(
+        base.withWatermark("event_ts", watermark),
+        num_hashes,
+        bands,
+        extra_cols=("event_ts",),
+    ).drop("signature")
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _make_lsh_bucket_fn(ttl_ms),
+        outputStructType=_LSH_OUT_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
 
 
 def near_dup_clusters(

@@ -173,9 +173,31 @@ class StreamingJob:
     # shuffle volume, window totals)
     pre_filter: str | None = None
 
+    # text/content column to run the streaming MinHash-LSH fuzzy-dedup
+    # candidate stage over (r5 VERDICT #3). None = stage off. When set,
+    # start_lsh_candidates_query() runs as a THIRD query alongside
+    # aggregate/detect, writing near-dup candidate pairs to
+    # candidates_dir for the offline verify/cluster jobs — candidates
+    # online, verification offline (the two-job topology the batch
+    # dedup docstrings prescribe)
+    fuzzy_dedup_col: str | None = None
+    fuzzy_watermark: str = "1 hour"
+    # record column identifying the document for candidate pairs
+    # (north_star: streams are keyed by url). Non-integral columns are
+    # keyed by xxhash64 — deterministic, so the offline verify job
+    # recomputes the same key from the same column
+    fuzzy_id_col: str = "url"
+    # event-time column of the frame passed to the candidates query
+    # (the raw page stream uses warc_ts; built records use ts)
+    fuzzy_ts_col: str = "warc_ts"
+
     @property
     def aggs_dir(self) -> str:
         return os.path.join(self.work_dir, "aggs")
+
+    @property
+    def candidates_dir(self) -> str:
+        return os.path.join(self.work_dir, "near_dup_candidates")
 
     @property
     def alerts_dir(self) -> str:
@@ -211,6 +233,56 @@ class StreamingJob:
             .foreachBatch(sink)
             .option("checkpointLocation", self._ckpt("aggregate"))
             .queryName("aggregate")
+            .start()
+        )
+
+    def start_lsh_candidates_query(self, records_stream: DataFrame):
+        """Streaming MinHash-LSH fuzzy-dedup candidate stage (requires
+        fuzzy_dedup_col): a third query beside aggregate/detect that
+        writes near-duplicate candidate pairs to candidates_dir with
+        the same idempotent batch-id commit protocol as the other
+        sinks. State is bucket-keyed and watermark-bounded (see
+        operators/dedup.py::streaming_minhash_lsh); the offline
+        verify/cluster jobs (near_duplicates / near_dup_clusters)
+        consume the candidate table."""
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        if self.fuzzy_dedup_col is None:
+            raise ValueError("fuzzy_dedup_col is not configured")
+        from ..operators.dedup import streaming_minhash_lsh
+
+        # NOTE: no pre_filter here — it is a RECORD-column expression
+        # and this query consumes the raw page stream; candidates
+        # should cover the whole crawl regardless of the metric gate
+        src = records_stream
+        id_type = src.schema[self.fuzzy_id_col].dataType
+        if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+            doc_key = F.col(self.fuzzy_id_col).cast("long")
+        else:
+            doc_key = F.xxhash64(F.col(self.fuzzy_id_col))
+        src = src.select(
+            doc_key.alias("_fuzzy_id"),
+            F.col(self.fuzzy_ts_col).alias("_fuzzy_ts"),
+            F.col(self.fuzzy_dedup_col),
+        )
+        cands = streaming_minhash_lsh(
+            src,
+            ts="_fuzzy_ts",
+            text_col=self.fuzzy_dedup_col,
+            id_col="_fuzzy_id",
+            watermark=self.fuzzy_watermark,
+        )
+        cands_dir = self.candidates_dir
+        os.makedirs(cands_dir, exist_ok=True)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            write_batch_idempotent(batch_df, batch_id, cands_dir, coalesce=1)
+
+        return (
+            cands.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", self._ckpt("lsh_candidates"))
+            .queryName("lsh_candidates")
             .start()
         )
 

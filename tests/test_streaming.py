@@ -837,3 +837,172 @@ def test_streaming_decontaminate(spark, tmp_path):
         r["doc_id"] for r in streaming_decontaminate(batch_df, bench, n=8).collect()
     }
     assert twin_clean == batch_clean
+
+
+def test_minhash_signature_expr_matches_batch(spark):
+    """The streaming-safe expression-only signature must be
+    bit-identical to the batch window/aggregation signature (it feeds
+    the SAME band hashing, so one mismatched minhash silently changes
+    candidate sets), and must yield NULL exactly where the batch
+    version emits no row (docs with < n tokens)."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(50)
+    rows = [(int(r.doc_id), r.text) for r in pdf.itertuples()] + [
+        (900001, "two tokens"),          # < n=3 tokens -> no signature
+        (900002, "exactly three tokens"),
+        (900003, "  leading   and trailing  spaces  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs).collect()
+    }
+    expr = {
+        r["doc_id"]: (list(r["sig"]) if r["sig"] is not None else None)
+        for r in docs.select(
+            "doc_id", minhash_signature_expr(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert expr[900001] is None and 900001 not in batch
+    for did, sig in batch.items():
+        assert expr[did] == sig, did
+    assert len(batch) == len(rows) - 1
+
+
+def test_streaming_minhash_lsh_matches_batch(spark, tmp_path):
+    """Streaming fuzzy-dedup candidate stage == its batch twin on a
+    planted near-dup stream: near-copies (one appended word) and exact
+    copies of fixture docs arrive later in event time; every band
+    collision the batch self-join finds must be emitted by the
+    stateful bucket operator with the same (earlier, later) ordering,
+    and the planted copies must actually collide."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        streaming_minhash_lsh,
+    )
+
+    base = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(60)[
+        ["doc_id", "text"]
+    ].reset_index(drop=True)
+    near = base[base.doc_id % 3 == 0].copy()
+    near["doc_id"] = near["doc_id"] + 100000
+    near["text"] = near["text"] + " appendedword"
+    exact = base[base.doc_id % 7 == 0].copy()
+    exact["doc_id"] = exact["doc_id"] + 200000
+    pdf = pd.concat([base, near, exact], ignore_index=True)
+    t0 = pd.Timestamp("2024-01-01")
+    pdf["ts"] = (t0 + pd.to_timedelta(pdf.index * 60, unit="s")).astype(
+        "datetime64[us]"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(pdf, src, 3)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_minhash_lsh(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("lsh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.doc_a, r.doc_b, r.band_idx, r.band_hash)
+        for r in spark.sql(
+            "SELECT doc_a, doc_b, band_idx, band_hash FROM lsh_stream"
+        ).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.band_idx, r.band_hash)
+        for r in streaming_minhash_lsh(spark.createDataFrame(pdf)).collect()
+    }
+    assert streamed == batch
+    # the plant worked: every exact copy collides with its original in
+    # ALL bands, and most near-copies collide in at least one band
+    pair_set = {(a, b) for a, b, _, _ in streamed}
+    exact_hits = sum(
+        1 for d in exact.doc_id if (int(d) - 200000, int(d)) in pair_set
+    )
+    near_hits = sum(
+        1 for d in near.doc_id if (int(d) - 100000, int(d)) in pair_set
+    )
+    assert exact_hits == len(exact)
+    assert near_hits >= len(near) * 0.8
+    assert all(a < 100000 or b > a for a, b, _, _ in streamed)
+
+
+def test_job_lsh_candidates_query(spark, tmp_path):
+    """StreamingJob.start_lsh_candidates_query end-to-end on the raw
+    page stream: re-crawled urls (same text, later warc_ts, distinct
+    url) must appear in the candidate table keyed by xxhash64(url),
+    via the idempotent file sink — the CLI --fuzzy-dedup-col path."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+        PagesSpec,
+        generate_pages,
+        read_pages_stream,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        StreamingJob,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = generate_pages(PagesSpec(n_pages=300)).sort_values("warc_ts")
+    mirrors = pdf.head(40).copy()
+    mirrors["url"] = mirrors["url"] + "?mirror=1"
+    mirrors["warc_ts"] = mirrors["warc_ts"] + pd.Timedelta(minutes=2)
+    pdf = (
+        pd.concat([pdf, mirrors]).sort_values("warc_ts").reset_index(drop=True)
+    )
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+    src = tmp_path / "pages"
+    src.mkdir()
+    _write_chunks(pdf, src, 3)
+
+    job = StreamingJob(
+        work_dir=str(tmp_path / "job"),
+        cfg=None,  # aggregate/detect not used in this test
+        tail=TailConfig(mode="zscore"),
+        fuzzy_dedup_col="text",
+        fuzzy_watermark="1 hour",
+    )
+    q = job.start_lsh_candidates_query(read_pages_stream(spark, str(src)))
+    q.processAllAvailable()
+    q.stop()
+
+    cands = spark.read.parquet(job.candidates_dir)
+    pair_set = {
+        (r.doc_a, r.doc_b) for r in cands.select("doc_a", "doc_b").collect()
+    }
+    key = {
+        r.url: r.k
+        for r in spark.createDataFrame(pdf[["url"]])
+        .select("url", F.xxhash64("url").alias("k"))
+        .collect()
+    }
+    hits = sum(
+        1
+        for u in mirrors["url"]
+        if (key[u[: -len("?mirror=1")]], key[u]) in pair_set
+        or (key[u], key[u[: -len("?mirror=1")]]) in pair_set
+    )
+    assert hits == len(mirrors)  # identical text -> all bands collide
