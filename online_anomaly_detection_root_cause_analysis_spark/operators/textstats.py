@@ -235,10 +235,24 @@ def bpe_merges(
         .groupBy("word")
         .agg(F.count("*").alias("w"))
     )
-    vocab = word_freq.select(
-        "w", F.concat_ws(" ", F.split(F.col("word"), "")).alias("seq")
-    ).persist()
-    vocab.count()
+    # The vocab is DISTINCT WORDS — orders of magnitude smaller than
+    # the corpus by construction (real BPE trainers run it on one
+    # node). Coalesce to few partitions so the 16+ sequential rounds
+    # don't pay 32-task stage overhead for kilobyte inputs: at sf0.1
+    # the per-round argmax went ~2.5 s -> ~0.3 s (the corpus-sized
+    # work is the ONE word-count shuffle above, untouched). No eager
+    # materialization either — the round's argmax job is the first
+    # consumer of each persisted vocab; the PREVIOUS round's cache is
+    # released only after the argmax has materialized the current one
+    # (prev handle below) or unpersisting would force a recompute.
+    vocab = (
+        word_freq.select(
+            "w", F.concat_ws(" ", F.split(F.col("word"), "")).alias("seq")
+        )
+        .coalesce(1)
+        .persist()
+    )
+    prev = None
 
     merges = []
     for rank in range(1, n_merges + 1):
@@ -261,6 +275,10 @@ def bpe_merges(
         )
         if not best:
             break
+        # the argmax job just materialized `vocab`'s cache; the frame
+        # it was derived from can now be released
+        if prev is not None:
+            prev.unpersist()
         l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
         merges.append((rank, l, r, l + r, int(c)))
         stepped = vocab.select(
@@ -273,9 +291,10 @@ def bpe_merges(
                 )
             ).alias("seq"),
         ).persist()
-        stepped.count()
-        vocab.unpersist()
+        prev = vocab
         vocab = stepped
+    if prev is not None:
+        prev.unpersist()
     vocab.unpersist()
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, pair_count long"

@@ -1006,3 +1006,93 @@ def test_job_lsh_candidates_query(spark, tmp_path):
         or (key[u], key[u[: -len("?mirror=1")]]) in pair_set
     )
     assert hits == len(mirrors)  # identical text -> all bands collide
+
+
+def test_lsh_candidates_checkpoint_resume(spark, tmp_path):
+    """Kill/resume soak for the streaming LSH stage: bucket state
+    (ids/tss arrays) rides the checkpoint, so a mirror page arriving
+    AFTER the restart must still pair with its original seen BEFORE
+    the restart — and the resumed candidate table must equal one
+    uninterrupted run (idempotent batch-id sink)."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+        PagesSpec,
+        generate_pages,
+        read_pages_stream,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        StreamingJob,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+    )
+
+    pdf = generate_pages(PagesSpec(n_pages=240)).sort_values("warc_ts")
+    # mirrors of EARLY pages, arriving at the very end of the stream:
+    # their originals' bucket state must survive the restart
+    early = pdf.head(30).copy()
+    early["url"] = early["url"] + "?mirror=1"
+    early["warc_ts"] = pdf["warc_ts"].max() + pd.to_timedelta(
+        range(1, len(early) + 1), unit="min"
+    )
+    pdf = pd.concat([pdf, early]).sort_values("warc_ts").reset_index(drop=True)
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+
+    def run(pages_dir, work):
+        job = StreamingJob(
+            work_dir=work, cfg=None, tail=TailConfig(mode="zscore"),
+            fuzzy_dedup_col="text", fuzzy_watermark="2 hours",
+        )
+        q = job.start_lsh_candidates_query(
+            read_pages_stream(spark, str(pages_dir))
+        )
+        q.processAllAvailable()
+        q.stop()
+        return job
+
+    inc = tmp_path / "pages_inc"
+    inc.mkdir()
+    half = len(pdf) // 2  # all originals of the mirrors are in part 1
+    _write_chunks(pdf.iloc[:half], inc, 2, start_idx=0)
+    work = str(tmp_path / "job_inc")
+    job = run(inc, work)
+    mid = spark.read.parquet(job.candidates_dir).count()
+
+    _write_chunks(pdf.iloc[half:], inc, 2, start_idx=2)
+    job = run(inc, work)
+
+    alldir = tmp_path / "pages_all"
+    alldir.mkdir()
+    _write_chunks(pdf, alldir, 4)
+    gold = run(alldir, str(tmp_path / "job_gold"))
+
+    got = spark.read.parquet(job.candidates_dir)
+    want = spark.read.parquet(gold.candidates_dir)
+    got_set = {
+        (r.doc_a, r.doc_b, r.band_idx) for r in got.collect()
+    }
+    want_set = {
+        (r.doc_a, r.doc_b, r.band_idx) for r in want.collect()
+    }
+    assert want.count() > mid  # post-restart batches added candidates
+    assert got_set == want_set
+    # cross-restart pairing actually happened: mirrors only streamed
+    # after the restart, their originals only before it
+    from pyspark.sql import functions as F
+
+    keys = {
+        r.url: r.k
+        for r in spark.createDataFrame(pdf[["url"]])
+        .select("url", F.xxhash64("url").alias("k"))
+        .collect()
+    }
+    cross = sum(
+        1
+        for u in early["url"]
+        if any(
+            (keys[u[: -len("?mirror=1")]], keys[u], b) in got_set
+            for b in range(16)
+        )
+    )
+    assert cross == len(early)
