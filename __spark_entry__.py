@@ -720,6 +720,36 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(planted, max_df=3)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BENCHMARK-doc leakage report (inverse of decontamination —
+    the view the eval owner reads): the %25 planted benchmark set
+    against the whole corpus; every bench doc self-leaks via exact
+    duplicates only when a true copy exists, so the gate sees full
+    leaks, partial leaks, and clean items
+    (operators/textstats.py::contamination_report)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        contamination_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    return contamination_report(docs, benchmark, n=8)
+
+
+def q_perplexity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucketed mixing: per-language surprisal
+    terciles (exact integer-bits LM score, deterministic
+    row_number bucketing) sampled at (0.9, 0.5, 0.1)
+    (operators/textstats.py::perplexity_bucketed_sample)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        perplexity_bucketed_sample,
+    )
+
+    return perplexity_bucketed_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality scoring via self-trained unigram LM,
     in exact integer bits (floor-log2 via length(bin(x))-1 — no float
@@ -2675,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "url_host_stats": q_url_host_stats,
         "unigram_surprisal": q_unigram_surprisal,
+        "contamination_report": q_contamination_report,
+        "perplexity_sample": q_perplexity_sample,
         "line_dedup": q_line_dedup,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
@@ -3260,6 +3292,87 @@ SELECT doc_id,
        CAST(n_words * (SELECT n_bits FROM total) - sum_wc_bits AS BIGINT)
            AS surprisal_bits
 FROM per_doc
+"""
+
+
+# inverse of decontamination: per benchmark doc, distinct other corpus
+# docs sharing >=1 gram + distinct leaked gram types, zero-filled
+_CONTAMINATION_REPORT_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+cg AS (SELECT DISTINCT doc_id AS corpus_id, gram FROM grams),
+bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM grams WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT bg.bench_id,
+         COUNT(DISTINCT cg.corpus_id) AS n_contaminated_docs,
+         COUNT(DISTINCT bg.gram) AS n_leaked_grams
+  FROM cg JOIN bg USING (gram)
+  WHERE cg.corpus_id <> bg.bench_id
+  GROUP BY bg.bench_id
+),
+tot AS (SELECT bench_id, COUNT(*) AS n_grams FROM bg GROUP BY 1)
+SELECT t.bench_id AS bench_doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_contaminated_docs, 0) AS BIGINT) AS n_contaminated_docs,
+       CAST(COALESCE(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams
+FROM tot t LEFT JOIN hits h USING (bench_id)
+"""
+
+
+def _perplexity_sample_oracle_sql(rates: tuple = (0.9, 0.5, 0.1)) -> str:
+    """Surprisal CTE chain + per-lang deterministic tercile bucketing
+    (row_number over the (bits_per_word, doc_id) total order — NOT
+    ntile, whose tie semantics differ across engines) + the sha60
+    sample gate."""
+    nb = len(rates)
+    cases = " ".join(
+        f"WHEN {i} THEN {int(r * 10000)}" for i, r in enumerate(rates)
+    )
+    key = _sha60("'ppl-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS wc FROM words GROUP BY word),
+total AS (SELECT length(bin(SUM(wc))) - 1 AS n_bits FROM vocab),
+per_doc AS (
+  SELECT w.doc_id, COUNT(*) AS n_words,
+         SUM(length(bin(v.wc)) - 1) AS sum_wc_bits
+  FROM words w JOIN vocab v USING (word)
+  GROUP BY w.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(p.n_words * (SELECT n_bits FROM total) - p.sum_wc_bits AS BIGINT)
+           / CAST(p.n_words AS BIGINT) AS bpw
+  FROM per_doc p JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY bpw, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored
+),
+bucketed AS (
+  SELECT doc_id, lang,
+         CAST(((rn - 1) * {nb}) // cnt AS INT) AS bucket
+  FROM ranked
+),
+gated AS (
+  SELECT doc_id, lang, bucket,
+         {key} % 10000 AS sample_bucket,
+         CAST(CASE bucket {cases} END AS BIGINT) AS keep_below
+  FROM bucketed
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(sample_bucket AS BIGINT) AS sample_bucket, keep_below
+FROM gated WHERE sample_bucket < keep_below
 """
 
 
@@ -3851,6 +3964,8 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _DECONTAMINATION_SQL,
         "url_host_stats": _URL_HOST_STATS_SQL,
         "unigram_surprisal": _UNIGRAM_SURPRISAL_SQL,
+        "contamination_report": _CONTAMINATION_REPORT_SQL,
+        "perplexity_sample": _perplexity_sample_oracle_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),

@@ -481,6 +481,142 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """The INVERSE of `decontaminate`: per BENCHMARK document, how
+    compromised is it — how many distinct corpus documents (excluding
+    itself) share at least one word n-gram with it, and how many of
+    its gram types leak anywhere. This is the report an eval owner
+    reads ("which test items does the training set already contain")
+    while `decontaminate` is the filter the data pipeline runs.
+
+    Same 100-TB shape as decontaminate with the attribution kept: the
+    benchmark gram table is eval-set-bounded and broadcast; the corpus
+    probe is a map-side broadcast join on exploded grams (no corpus
+    shuffle for the match); the rollup shuffles only the HIT rows on
+    the benchmark doc id (hits are a vanishing fraction of corpus
+    grams). Emits every benchmark doc, zero-filled."""
+
+    def _grams(frame, tc, keep):
+        words = F.split(F.col(tc), " ")
+        g = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(*keep, F.explode(g).alias("gram"))
+
+    bench_grams = _grams(
+        benchmark, bench_text_col, [F.col(bench_id_col).alias("bench_id")]
+    ).distinct()
+    corpus_grams = _grams(
+        docs, text_col, [F.col(id_col).alias("corpus_id")]
+    ).distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .filter(F.col("corpus_id") != F.col("bench_id"))
+        .groupBy("bench_id")
+        .agg(
+            F.count_distinct("corpus_id").alias("n_contaminated_docs"),
+            F.count_distinct("gram").alias("n_leaked_grams"),
+        )
+    )
+    totals = bench_grams.groupBy("bench_id").agg(
+        F.count("*").alias("n_grams")
+    )
+    return totals.join(hits, "bench_id", "left").select(
+        F.col("bench_id").alias("bench_doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_contaminated_docs"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated_docs"),
+        F.coalesce(F.col("n_leaked_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_leaked_grams"),
+    )
+
+
+def perplexity_bucketed_sample(
+    docs: DataFrame,
+    rates: tuple = (0.9, 0.5, 0.1),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity-bucketed data mixing: score every doc
+    with the self-trained unigram LM (`unigram_surprisal`, exact
+    integer bits), split each language into len(rates) equal-count
+    buckets by bits-per-word (bucket 0 = most predictable / lowest
+    surprisal), and keep a deterministic hash-sampled fraction
+    rates[bucket] of each bucket — CCNet's head/middle/tail mixture,
+    reproducible under retries (no rand()).
+
+    Bucket assignment is row_number-based over the total order
+    (bits_per_word, doc_id) — deterministic and engine-portable, where
+    ntile/percent_rank tie semantics are not; bits_per_word is an IEEE
+    division of two exact integers, identical in both engines. One
+    window shuffle on the language key on top of surprisal's two
+    shuffles; the sample gate is map-side."""
+    from ..functions.text import sha60_col
+
+    s = unigram_surprisal(docs, text_col=text_col, id_col=id_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    j = base.join(s, "doc_id").withColumn(
+        "bits_per_word", F.col("surprisal_bits") / F.col("n_words")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("bits_per_word", "doc_id")
+    nb = len(rates)
+    ranked = j.select(
+        "doc_id",
+        "lang",
+        "bits_per_word",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("_cnt"),
+    )
+    # exact integer floor-division (num - num%cnt)/cnt — matches the
+    # oracle's `//` by construction, no float-division edge cases
+    num = (F.col("_rn") - F.lit(1)) * F.lit(nb)
+    ranked = ranked.withColumn(
+        "bucket",
+        ((num - F.pmod(num, F.col("_cnt"))) / F.col("_cnt")).cast("int"),
+    )
+    keep_below = None
+    for i, r in enumerate(rates):
+        expr = F.lit(int(r * 10000))
+        keep_below = (
+            F.when(F.col("bucket") == i, expr)
+            if keep_below is None
+            else keep_below.when(F.col("bucket") == i, expr)
+        )
+    gated = ranked.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        (
+            F.pmod(
+                sha60_col(F.concat(F.lit("ppl-"), F.col("doc_id").cast("string"))),
+                F.lit(10000),
+            )
+        ).alias("sample_bucket"),
+        keep_below.cast("long").alias("keep_below"),
+    )
+    return gated.filter(F.col("sample_bucket") < F.col("keep_below")).select(
+        "doc_id", "lang", F.col("bucket").cast("long").alias("bucket"),
+        F.col("sample_bucket").cast("long").alias("sample_bucket"), "keep_below",
+    )
+
+
 def streaming_decontaminate(
     records: DataFrame,
     benchmark: DataFrame,
