@@ -675,6 +675,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: run the 16 induced merge rules over the corpus
+    and report per-doc (n_words, n_tokens) — the fertility statistic
+    that budgets training FLOPs. Rules apply once to the distinct-word
+    vocab (bounded map pass), counts join back on the word key. Oracle:
+    the induction CTE chain carried one column wider (word kept through
+    every round) + the same explode/join/agg
+    (operators/textstats.py::bpe_tokenize)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bpe_tokenize,
+    )
+
+    return bpe_tokenize(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=16
+    )
+
+
 def q_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language heavy-hitter words, top-10 with deterministic
     (count desc, word asc) ties; the rank filter compiles to
@@ -2710,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "blocklist_filter": q_blocklist_filter,
         "value_percentiles": q_value_percentiles,
         "curation_pipeline": q_curation_pipeline,
@@ -3205,6 +3223,53 @@ def _bpe_merges_oracle_sql(n: int = 16) -> str:
         for r in range(n)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def _bpe_tokenize_oracle_sql(n: int = 16) -> str:
+    """`_bpe_merges_oracle_sql`'s chain carried one column wider: every
+    s{r} keeps `word`, the final s{n} maps word -> post-merge symbol
+    count, and the corpus's exploded (doc, word) frequencies join back
+    for the per-doc token totals."""
+    ctes = [
+        "v AS MATERIALIZED (SELECT word, COUNT(*) AS w FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " GROUP BY word)",
+        "s0 AS MATERIALIZED (SELECT word, w,"
+        " array_to_string(string_split(word, ''), ' ') AS seq FROM v)",
+    ]
+    for r in range(n):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT s[i] AS l, s[i+1] AS r, SUM(w) AS c"
+            f" FROM (SELECT w, string_split(seq, ' ') AS s FROM s{r}) q{r},"
+            f" UNNEST(range(1, len(s))) AS t(i)"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT l, r, c FROM p{r}"
+            f" ORDER BY c DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT word, w, trim(replace(' ' || seq || ' ',"
+            f" ' ' || (SELECT l FROM b{r}) || ' ' || (SELECT r FROM b{r}) || ' ',"
+            f" ' ' || (SELECT l FROM b{r}) || (SELECT r FROM b{r}) || ' ')) AS seq"
+            f" FROM s{r})"
+        )
+    ctes.append(
+        f"tok AS (SELECT word, len(string_split(seq, ' ')) AS word_tokens"
+        f" FROM s{n})"
+    )
+    ctes.append(
+        "dw AS (SELECT doc_id, word, COUNT(*) AS n_occ FROM"
+        " (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)"
+        " GROUP BY doc_id, word)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,"
+        " CAST(SUM(n_occ * word_tokens) AS BIGINT) AS n_tokens"
+        " FROM dw JOIN tok USING (word) GROUP BY doc_id"
+    )
 
 
 _TOP_WORDS_PER_LANG_SQL = """
@@ -3969,6 +4034,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_tokenize": _bpe_tokenize_oracle_sql(),
         "blocklist_filter": _BLOCKLIST_FILTER_SQL,
         "value_percentiles": _VALUE_PERCENTILES_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,

@@ -301,6 +301,69 @@ def bpe_merges(
     )
 
 
+def bpe_tokenize(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY half of the tokenizer: run the `bpe_merges`-induced
+    rules over the corpus and report per-document token counts —
+    the fertility statistic (tokens vs words) every LLM data pipeline
+    computes to budget training FLOPs and context length.
+
+    Scale shape mirrors the trainer's distinct-word trick: the merge
+    rules are applied ONCE to the distinct-word vocab (a bounded,
+    vocab-sized map pass — chained JVM `replace` per rule, identical
+    single-pass semantics to induction), then per-word token counts
+    join back to the corpus's exploded (doc, word) frequencies on the
+    word key — one explode shuffle + one join + one doc agg, all
+    corpus-proportional work in plain Catalyst operators. The rule
+    table itself is n_merges rows (bounded driver traffic, same
+    argument as induction's per-round argmax).
+
+    Returns (doc_id, n_words, n_tokens), n_tokens = sum over word
+    occurrences of the word's post-merge symbol count."""
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs, n_merges=n_merges, text_col=text_col)
+        .orderBy("rank")
+        .collect()
+    ]
+    doc_words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    seq = F.concat_ws(" ", F.split(F.col("word"), ""))
+    for l, r in rules:
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {l} {r} "),
+                F.lit(f" {l}{r} "),
+            )
+        )
+    word_tokens = (
+        doc_words.select("word")
+        .distinct()
+        .select("word", F.size(F.split(seq, " ")).alias("word_tokens"))
+    )
+    return (
+        doc_words.join(word_tokens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("word_tokens"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def top_words_per_key(
     docs: DataFrame,
     key_col: str = "lang",

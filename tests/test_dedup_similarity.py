@@ -896,3 +896,54 @@ def test_bpe_merges_driver_gate_reaches_recursive_merges(spark):
                 assert side in produced, (r["rank"], side)
         produced.add(r["merged"])
     assert recursive >= 1, "no merge consumed a prior merge product"
+
+
+def test_bpe_tokenize_constructed_corpus(spark):
+    """Pins the APPLY half on a hand-traceable corpus. Rules learned
+    from {'aaaa aaaa ab', 'ba aaa'} with n_merges=5 are a+a=aa(8),
+    aa+a=aaa(3), aaa+a=aaaa(2), a+b=ab(1), b+a=ba(1) — every word
+    collapses to ONE token; at n_merges=2 only [aa, aaa] exist, so
+    'aaaa' keeps the single-pass residue 'aaa a' (2 tokens) and
+    'ab'/'ba' stay char-level."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bpe_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "ba aaa")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in
+           bpe_tokenize(docs, n_merges=5).collect()}
+    assert out[1] == (3, 3)
+    assert out[2] == (2, 2)
+    out2 = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in
+            bpe_tokenize(docs, n_merges=2).collect()}
+    # rules [aa, aaa]: aaaa->'aaa a'(2) x2, ab->'a b'(2); ba->2, aaa->1
+    assert out2[1] == (3, 6)
+    assert out2[2] == (2, 3)
+
+
+def test_bpe_tokenize_compresses_fixture_corpus(spark):
+    """Fertility sanity at the driver operating point: applying 16
+    merges must strictly reduce token count below the char count
+    (merges fired) while n_tokens >= n_words always (a word is >= 1
+    token)."""
+    from pyspark.sql import functions as F
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bpe_tokenize,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bpe_tokenize(docs, n_merges=16)
+    chars = docs.select(
+        F.col("doc_id"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_chars"),
+    )
+    j = out.join(chars, "doc_id").agg(
+        F.sum("n_tokens").alias("tok"),
+        F.sum("n_chars").alias("ch"),
+        F.sum("n_words").alias("w"),
+        F.min(F.col("n_tokens") >= F.col("n_words")).alias("ge_words"),
+    ).first()
+    assert j["tok"] < j["ch"], "no merge reduced the char-level count"
+    assert j["ge_words"] is True
