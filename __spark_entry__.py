@@ -692,6 +692,38 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: global token-stream offsets
+    via a distributed two-level prefix sum (parallel per-shard window
+    cumsums + an n_shards-row offset table broadcast back — the only
+    single-task window is shards-sized), then per-doc chunk span math
+    in codegen. Oracle: one global SQL window cumsum — semantics
+    identical regardless of sharding
+    (operators/textstats.py::sequence_packing)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        sequence_packing,
+    )
+
+    return sequence_packing(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), ctx_len=64
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=0.7) language mixture reweighting
+    (mBERT/XLM-R sampling): per-lang token mass -> q ~ p^(1/T) and
+    the q/p sampling-rate multiplier; one partial-agg groupBy, then
+    windows over the languages-sized result only
+    (operators/textstats.py::mixture_weights)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    return mixture_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), temperature=0.7
+    )
+
+
 def q_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language heavy-hitter words, top-10 with deterministic
     (count desc, word asc) ties; the rank filter compiles to
@@ -2728,6 +2760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        "sequence_packing": q_sequence_packing,
+        "mixture_weights": q_mixture_weights,
         "blocklist_filter": q_blocklist_filter,
         "value_percentiles": q_value_percentiles,
         "curation_pipeline": q_curation_pipeline,
@@ -3270,6 +3304,48 @@ def _bpe_tokenize_oracle_sql(n: int = 16) -> str:
         " CAST(SUM(n_occ * word_tokens) AS BIGINT) AS n_tokens"
         " FROM dw JOIN tok USING (word) GROUP BY doc_id"
     )
+
+
+_SEQUENCE_PACKING_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_pos
+  FROM t
+)
+SELECT doc_id, n_tokens, start_pos,
+  CAST(floor(start_pos / 64) AS BIGINT) AS first_chunk,
+  CAST(floor((start_pos + n_tokens - 1) / 64) AS BIGINT) AS last_chunk,
+  CAST(floor((start_pos + n_tokens - 1) / 64)
+    - floor(start_pos / 64) + 1 AS BIGINT) AS n_chunks
+FROM c
+"""
+
+
+_MIXTURE_WEIGHTS_SQL = """
+WITH k AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, n_tokens,
+    n_tokens * 1.0 / SUM(n_tokens) OVER () AS p
+  FROM k
+),
+v AS (SELECT *, pow(p, 1.0 / 0.7) AS qr FROM w),
+u AS (SELECT *, qr / SUM(qr) OVER () AS q FROM v)
+SELECT lang, n_docs, n_tokens,
+  floor(p * 1e6 + 0.5) / 1e6 AS p_data,
+  floor(q * 1e6 + 0.5) / 1e6 AS p_sample,
+  floor(q / p * 1e6 + 0.5) / 1e6 AS sample_weight
+FROM u
+"""
 
 
 _TOP_WORDS_PER_LANG_SQL = """
@@ -4035,6 +4111,8 @@ def oracle_sql() -> dict[str, str]:
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_tokenize": _bpe_tokenize_oracle_sql(),
+        "sequence_packing": _SEQUENCE_PACKING_SQL,
+        "mixture_weights": _MIXTURE_WEIGHTS_SQL,
         "blocklist_filter": _BLOCKLIST_FILTER_SQL,
         "value_percentiles": _VALUE_PERCENTILES_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,

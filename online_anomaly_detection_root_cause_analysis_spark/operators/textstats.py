@@ -364,6 +364,133 @@ def bpe_tokenize(
     )
 
 
+def sequence_packing(
+    docs: DataFrame,
+    ctx_len: int = 64,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in deterministic doc_id order into one token stream
+    and sliced into fixed ctx_len context windows; per document,
+    report its stream offset, which chunks it lands in, and how many
+    chunk boundaries it straddles — the stats a pre-training pipeline
+    needs to budget sequence counts and boundary-crossing loss.
+
+    Scale shape — a DISTRIBUTED prefix sum, not a global window: a
+    bare `Window.orderBy(id)` funnels the whole corpus through one
+    task. Instead (1) rows are sharded into n_shards contiguous
+    doc_id ranges (bounds from a 2-scalar min/max agg — the only
+    driver traffic), (2) per-shard cumulative sums run in parallel
+    (window PARTITIONED by shard, ordered by doc_id), (3) the shard
+    totals — n_shards rows — get their own cumsum on one tiny
+    partition and broadcast-join back as offsets. The single-task
+    window touches n_shards rows, never the corpus; everything else
+    is map-side codegen column math. Token = whitespace word (the
+    split(" ") convention shared with `bpe_tokenize`; an empty text
+    counts 1, so every doc spans >= 1 chunk and last_chunk is total).
+
+    Returns (doc_id, n_tokens, start_pos, first_chunk, last_chunk,
+    n_chunks) with first/last = floor(start/ctx), floor((start +
+    n_tokens - 1)/ctx)."""
+    from pyspark.sql import Window
+
+    lo, hi = docs.agg(
+        F.min(F.col(id_col)), F.max(F.col(id_col))
+    ).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    shard = F.floor(
+        (F.col("doc_id") - F.lit(int(lo))) * n_shards / F.lit(span)
+    ).cast("long")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    ).select("doc_id", "n_tokens", shard.alias("shard"))
+    in_shard = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = toks.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(in_shard), F.lit(0))
+    )
+    shard_offsets = (
+        toks.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn(
+            "shard_offset",
+            F.coalesce(
+                F.sum("shard_total").over(
+                    Window.orderBy("shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "shard_offset")
+    )
+    start = F.col("local_start") + F.col("shard_offset")
+    return (
+        local.join(F.broadcast(shard_offsets), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_pos"),
+            F.floor(start / ctx_len).cast("long").alias("first_chunk"),
+            F.floor((start + F.col("n_tokens") - 1) / ctx_len)
+            .cast("long")
+            .alias("last_chunk"),
+        )
+        .withColumn(
+            "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1)
+        )
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    temperature: float = 0.7,
+    key_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture reweighting over a grouping key —
+    the multilingual sampling scheme of mBERT/XLM-R (q_l ~ p_l^(1/T),
+    T<1 upweights low-resource languages): from per-language token
+    mass p_l, compute the target sampling distribution q_l and the
+    per-document sampling-rate multiplier w_l = q_l / p_l a mixing
+    stage would feed into `deterministic_stratified_sample`.
+
+    Scale shape: one partial-agg groupBy on the key produces a
+    languages-sized table; the normalizing sums run as windows over
+    those few rows (single tiny partition by construction — bounded
+    by key cardinality, never corpus rows). Zero driver traffic.
+    Ratios are floor-rounded at 1e-6 in engine and oracle alike.
+
+    Returns (lang, n_docs, n_tokens, p_data, p_sample, sample_weight)
+    sorted-stable by construction (deterministic per-key floats)."""
+    from pyspark.sql import Window
+
+    per_key = docs.groupBy(F.col(key_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    q_raw = F.pow(p, 1.0 / temperature)
+    q = q_raw / F.sum(q_raw).over(everything)
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return per_key.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        r6(p).alias("p_data"),
+        r6(q).alias("p_sample"),
+        r6(q / p).alias("sample_weight"),
+    )
+
+
 def top_words_per_key(
     docs: DataFrame,
     key_col: str = "lang",

@@ -947,3 +947,84 @@ def test_bpe_tokenize_compresses_fixture_corpus(spark):
     ).first()
     assert j["tok"] < j["ch"], "no merge reduced the char-level count"
     assert j["ge_words"] is True
+
+
+def test_sequence_packing_constructed_and_shard_invariant(spark):
+    """Hand-traceable pack layout at ctx_len=4 over word counts
+    [3, 2, 4, 1] concatenated in doc_id order (stream length 10 ->
+    chunks 0..2), plus THE distributed-prefix-sum property: the
+    result is identical at every shard count, including n_shards
+    far above the row count."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        sequence_packing,
+    )
+
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "d e"), (12, "f g h i"), (13, "j")],
+        ["doc_id", "text"],
+    )
+    expect = {
+        # doc: (n_tokens, start, first, last, n_chunks)
+        10: (3, 0, 0, 0, 1),
+        11: (2, 3, 0, 1, 2),
+        12: (4, 5, 1, 2, 2),
+        13: (1, 9, 2, 2, 1),
+    }
+    for n_shards in (1, 3, 64):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["start_pos"], r["first_chunk"],
+                r["last_chunk"], r["n_chunks"],
+            )
+            for r in sequence_packing(
+                docs, ctx_len=4, n_shards=n_shards
+            ).collect()
+        }
+        assert got == expect, n_shards
+
+
+def test_sequence_packing_fixture_stream_is_gapless(spark):
+    """On the fixture corpus the per-doc spans must tile the token
+    stream exactly: sorted by doc_id, each start_pos equals the
+    previous start_pos + n_tokens, and the last chunk index equals
+    floor((total - 1) / ctx)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        sequence_packing,
+    )
+
+    out = sequence_packing(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        ctx_len=64,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r in rows:
+        assert r["start_pos"] == pos, r
+        assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+        pos += r["n_tokens"]
+    assert rows[-1]["last_chunk"] == (pos - 1) // 64
+
+
+def test_mixture_weights_upweights_low_resource(spark):
+    """Two langs with 9:1 token mass at T=0.5: q ~ p^2 would
+    DOWNweight the minority (T>1 flattens, T<1 sharpens — the
+    mBERT convention is alpha = 1/T in [0,1], so pass T=2.0 for
+    alpha=0.5), weights stay a probability distribution, and the
+    identity q/p holds per row."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 8 + "w", "en") for i in range(9)]
+        + [(9, "w " * 8 + "w", "xh")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in mixture_weights(docs, temperature=2.0).collect()}
+    assert out["en"]["n_tokens"] == 81 and out["xh"]["n_tokens"] == 9
+    assert abs(out["en"]["p_data"] - 0.9) < 1e-6
+    # alpha=0.5: q_en = sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~= 0.75
+    assert abs(out["en"]["p_sample"] - 0.75) < 0.01
+    assert out["xh"]["p_sample"] > out["xh"]["p_data"]
+    assert out["xh"]["sample_weight"] > 1.0 > out["en"]["sample_weight"]
+    assert abs(sum(r["p_sample"] for r in out.values()) - 1.0) < 1e-5
