@@ -701,10 +701,15 @@ def near_dup_clusters(
     pathological-chain worst case with an explicit error rather than
     a silent wrong answer.
 
-    Also checkpoint-friendly: labels are a plain DataFrame; a
-    production run would persist every k-th iteration to truncate
-    lineage (documented rather than forced here — at test scale
-    lineage depth is trivial)."""
+    Lineage is truncated EVERY round with an eager localCheckpoint:
+    persist() alone does not stop the logical plan growing ~2x per
+    round (each round references the previous labels twice), and at
+    diameter ~25+ analysis time on the exponential plan tree — not
+    the data — becomes the bottleneck. Checkpoint blocks from retired
+    rounds are freed by Spark's ContextCleaner as the Python handles
+    drop; live footprint is bounded by two vertex-set snapshots. (A
+    multi-executor run would use checkpoint() against HDFS for the
+    same reason plus fault tolerance.)"""
     from pyspark.sql import functions as F
 
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -727,16 +732,21 @@ def near_dup_clusters(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    prev = labels  # the persisted frame backing the CURRENT labels
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id, "inner")
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # eager localCheckpoint, NOT persist: it both materializes the
+        # round (so the convergence check below re-reads blocks, not
+        # the plan) and RESETS the logical plan to a leaf — with
+        # persist the analyzed plan doubles every round (labels appears
+        # twice) and deep graphs die in the analyzer long before the
+        # executors sweat. Retired rounds' blocks are ContextCleaner-
+        # freed as the handles drop.
         stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -748,38 +758,159 @@ def near_dup_clusters(
                     F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
                 ).alias("chg"),
             )
-            .persist()  # truncate per-round lineage
+            .localCheckpoint(eager=True)
         )
         changed = stepped.filter(F.col("chg")).limit(1).count()
-        # stepped is now materialized, so the previous round's cache
-        # (which `labels` projects from) can be released — track the
-        # PERSISTED handle explicitly: `labels` itself is an
-        # unpersisted projection after round 1, so unpersisting it
-        # would be a no-op and every round's cache would leak.
-        prev.unpersist()
-        prev = stepped
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
         sym.unpersist()
-        prev.unpersist()
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} iterations"
         )
 
-    # Cut lineage so the last round's cache and the edge list can be
-    # freed NOW rather than leaking for the session: localCheckpoint
-    # materializes the converged labels (one extra small job over
-    # vertex-count rows), after which nothing downstream references
-    # the iteration's frames.
-    final = labels.localCheckpoint(eager=True)
-    prev.unpersist()
     sym.unpersist()
 
-    out = final.select(
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
+    if all_docs is not None:
+        singletons = (
+            all_docs.select(F.col(id_col).alias("doc_id"))
+            .join(out, "doc_id", "left_anti")
+            .withColumn("cluster_rep", F.col("doc_id"))
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
+def near_dup_clusters_star(
+    pairs: DataFrame,
+    all_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the measured ALTERNATIVE to `near_dup_clusters`'s
+    min-label propagation, with the identical output contract
+    (doc_id, cluster_rep = component-min id; singletons via
+    `all_docs`).
+
+    Why it exists: propagation converges in O(diameter) rounds at one
+    join+agg each; star-contraction converges in O(log n) rounds at
+    TWO grouped-join passes each. Near-dup components are shallow
+    (diameter 1-2 via shared content), so propagation should win
+    there — but a pathological chain (diameter d) costs propagation d
+    rounds vs star's ~log d. This implementation makes that trade
+    measurable instead of argued (see BENCH notes; parity is
+    test-gated on chains AND the fixture corpus).
+
+    Round shape, all canonical (big, small) edges with big > small:
+    - large-star: key the symmetric edge list at each u, m(u) =
+      min(neighbors ∪ u); every LARGER neighbor v>u re-attaches as
+      (v, m(u)). One groupBy + one join.
+    - small-star: key edges at the bigger endpoint u, m(u) = min of
+      its smaller neighbors; all of u's smaller neighbors (and u)
+      re-attach to m(u). One groupBy + one join.
+    Convergence = edge multiset fixed point, checked with a SCALAR
+    fingerprint agg (count, sum(small), sum(crc32(big:small)) — crc
+    summed into long, no ANSI overflow at any realistic edge count)
+    rather than a driver collect; `max_iters` fails loudly. Every
+    round ends in an eager localCheckpoint — MANDATORY here, not a
+    nicety: one star round references the incoming edge set ~8x, so
+    with persist() alone the analyzed plan octuples per round and the
+    analyzer, not the cluster, becomes the bottleneck by round ~8.
+    Retired rounds' blocks are ContextCleaner-freed; live footprint
+    is two edge-set snapshots (same policy as propagation)."""
+    from pyspark.sql import functions as F
+
+    e0 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        e0.select(
+            F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
+        )
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        edges.select(F.col("big").alias("id"))
+        .unionByName(edges.select(F.col("small").alias("id")))
+        .distinct()
+        .persist()
+    )
+    vertices.count()
+
+    def fingerprint(e: DataFrame):
+        return tuple(
+            e.agg(
+                F.count("*"),
+                F.sum("small"),
+                F.sum(
+                    F.crc32(
+                        F.concat_ws(":", F.col("big"), F.col("small"))
+                    )
+                ),
+            ).first()
+        )
+
+    fp = fingerprint(edges)
+    for _ in range(max_iters):
+        sym = edges.select(
+            F.col("big").alias("u"), F.col("small").alias("v")
+        ).unionByName(
+            edges.select(F.col("small").alias("u"), F.col("big").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.col("v").alias("big"),
+                F.least(F.col("mn"), F.col("u")).alias("small"),
+            )
+            .distinct()
+        )
+        dmins = large.groupBy("big").agg(F.min("small").alias("m"))
+        small_star = (
+            large.join(dmins, "big")
+            .select(
+                F.when(F.col("small") == F.col("m"), F.col("big"))
+                .otherwise(F.col("small"))
+                .alias("big"),
+                F.col("m").alias("small"),
+            )
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(small_star)
+        edges = small_star
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        vertices.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters_star did not converge in {max_iters} iterations"
+        )
+
+    # At the fixed point every component is a star centered at its
+    # min: non-centers appear exactly once on the big side. Vertices
+    # missing from the big side are centers (their own label).
+    final = (
+        vertices.join(edges, vertices.id == edges.big, "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("small"), F.col("id")).alias("cluster_rep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vertices.unpersist()
+
+    out = final
     if all_docs is not None:
         singletons = (
             all_docs.select(F.col(id_col).alias("doc_id"))

@@ -1028,3 +1028,64 @@ def test_mixture_weights_upweights_low_resource(spark):
     assert out["xh"]["p_sample"] > out["xh"]["p_data"]
     assert out["xh"]["sample_weight"] > 1.0 > out["en"]["sample_weight"]
     assert abs(sum(r["p_sample"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_near_dup_clusters_star_parity(spark):
+    """Large-star/small-star must agree with min-label propagation on
+    every constructed shape — including a 30-edge chain (diameter 31,
+    propagation's adversarial case, where star contraction's O(log n)
+    rounds are the whole argument), reversed-id edges, and a
+    singleton via all_docs."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),
+            (10, 11), (11, 12), (10, 12),
+            (21, 20),                 # reversed order
+            (31, 30), (30, 32),       # min arrives via the bigger key
+        ],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 30, 31, 32, 99]],
+        "doc_id long",
+    )
+    prop = {r.doc_id: r.cluster_rep
+            for r in near_dup_clusters(pairs, all_docs=docs).collect()}
+    star = {r.doc_id: r.cluster_rep
+            for r in near_dup_clusters_star(pairs, all_docs=docs).collect()}
+    assert star == prop
+    assert star[99] == 99 and star[32] == 30
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_rep for r in near_dup_clusters_star(chain).collect()}
+    assert set(out.values()) == {100} and len(out) == 31
+
+
+def test_near_dup_clusters_star_fixture_parity(spark):
+    """Star contraction reproduces propagation's exact clustering on
+    the real near-dup pair graph of the sf0.001 corpus (the driver
+    query's operating point)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+        near_duplicates,
+    )
+    import __spark_entry__ as em
+
+    corpus = em._doc_corpus(spark, "/root/testdata/sf0.001")
+    pairs = near_duplicates(corpus, n=3, threshold=0.3, bands=32).persist()
+    pairs.count()
+    prop = {r.doc_id: r.cluster_rep
+            for r in near_dup_clusters(pairs, all_docs=corpus).collect()}
+    star = {r.doc_id: r.cluster_rep
+            for r in near_dup_clusters_star(pairs, all_docs=corpus).collect()}
+    pairs.unpersist()
+    assert star == prop
+    assert len(set(prop.values())) < len(prop)  # real clusters exist
