@@ -769,6 +769,38 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(planted, max_df=3)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication audit (suffix-array-dedup family) over a
+    corpus with PLANTED mid-document duplication: doc_id % 7 == 0 docs
+    get a shared 12-token quote spliced in after token 10 (cross-doc
+    duplicated span INSIDE otherwise-unique documents — the case
+    document- and line-level dedup both miss), and doc_id % 13 == 0
+    docs get their own first 10 tokens appended at the end (within-doc
+    repetition, which min_count counts too). Gates gram counting, the
+    >= min_count filter, and the gaps-and-islands interval union: the
+    spliced quote makes runs of overlapping k=8 windows that must
+    merge into ONE maximal span without double-counting
+    (operators/textstats.py::duplicate_spans)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    quote = F.lit("the quick brown fox jumps over the lazy dog again and again")
+    head10 = F.concat_ws(" ", F.slice(toks, 1, 10))
+    tail = F.concat_ws(" ", F.slice(toks, 11, F.greatest(n - 10, F.lit(0))))
+    planted = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 7 == 0) & (n >= 11), F.concat_ws(" ", head10, quote, tail))
+        .when((F.col("doc_id") % 13 == 0) & (n >= 11), F.concat_ws(" ", F.trim(F.col("text")), head10))
+        .otherwise(F.trim(F.col("text")))
+        .alias("text"),
+    )
+    return duplicate_spans(planted, k=8, min_count=2)
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-BENCHMARK-doc leakage report (inverse of decontamination —
     the view the eval owner reads): the %25 planted benchmark set
@@ -2757,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "perplexity_sample": q_perplexity_sample,
         "line_dedup": q_line_dedup,
+        "duplicate_spans": q_duplicate_spans,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3405,6 +3438,67 @@ SELECT b.doc_id,
        sha256(COALESCE(k.clean_text, '')) AS clean_sha,
        CAST(length(COALESCE(k.clean_text, '')) AS BIGINT) AS clean_len
 FROM base b LEFT JOIN kept k USING (doc_id)
+"""
+
+
+# lag(pos) IS NULL falls through CASE to ELSE 1 (first window of a doc
+# always opens a span); intervals [p, p+7] with consecutive kept
+# positions <= 8 apart union contiguously, so sum(e-s+1) is the exact
+# covered-token count
+_DUPLICATE_SPANS_SQL = """
+WITH base0 AS (
+  SELECT doc_id, trim(text) AS text, string_split(trim(text), ' ') AS t
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 7 = 0 AND len(t) >= 11
+      THEN array_to_string(t[1:10], ' ')
+           || ' the quick brown fox jumps over the lazy dog again and again '
+           || array_to_string(t[11:len(t)], ' ')
+      WHEN doc_id % 13 = 0 AND len(t) >= 11
+      THEN text || ' ' || array_to_string(t[1:10], ' ')
+      ELSE text
+    END AS text
+  FROM base0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+),
+cnt AS (SELECT gram, count(*) AS c FROM wins GROUP BY gram),
+dup AS (SELECT doc_id, pos FROM wins JOIN cnt USING (gram) WHERE c >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new_island
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens,
+         max(e - s + 1) AS max_span
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_span,
+       floor(COALESCE(a.dup_tokens, 0) * 1.0 / b.n_tokens * 10000 + 0.5) / 10000
+         AS dup_ratio
+FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -4108,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _CONTAMINATION_REPORT_SQL,
         "perplexity_sample": _perplexity_sample_oracle_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
+        "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_tokenize": _bpe_tokenize_oracle_sql(),

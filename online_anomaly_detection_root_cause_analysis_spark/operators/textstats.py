@@ -1125,3 +1125,97 @@ def redact_pii(
         F.sha2(red, 256).alias("redacted_sha"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication audit — the suffix-array dedup
+    family (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22): for every document, find the tokens
+    covered by some k-token window that occurs >= `min_count` times
+    ANYWHERE in the corpus (including within the same document), and
+    merge those windows into maximal non-overlapping spans. Document-
+    and line-level dedup both miss this case: a quote or template
+    embedded mid-document repeats verbatim while every containing
+    line and document is unique.
+
+    Per doc: n_tokens, n_spans (maximal duplicated spans), dup_tokens
+    (tokens covered by the span union — exact interval union, no
+    double counting of overlapping windows), max_span, dup_ratio.
+
+    Plan (100-TB shape): one posexplode of k-gram windows; ONE
+    corpus-proportional shuffle on the gram key for the occurrence
+    count (partial agg map-side); the >=min_count filter joins
+    co-partitioned with that shuffle; then one doc_id shuffle where
+    lag + running-sum window functions (same partition+order, single
+    exchange) do gaps-and-islands interval merging: a window at pos p
+    extends the current span iff p - prev_pos <= k, else opens a new
+    one — which is exactly union-of-[p, p+k-1]-intervals because
+    consecutive kept positions <= k apart leave no gap. At 100 TB the
+    gram key would be xxhash64(gram) (8 bytes shuffled instead of the
+    string — collision odds ~n^2/2^64 acceptable for an audit
+    metric) and the count table df-capped like the shingle paths; the
+    plain-string key here keeps the DuckDB oracle byte-exact."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+                    lambda p: F.concat_ws(" ", F.slice(F.col("toks"), p, k)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    counts = wins.groupBy("gram").agg(F.count("*").alias("cnt"))
+    dup = (
+        wins.join(counts, "gram")
+        .filter(F.col("cnt") >= min_count)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("island", F.sum("new_island").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("max_span"),
+    )
+    return base.select("doc_id", "n_tokens").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias("max_span"),
+        (
+            F.floor(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("dup_ratio"),
+    )

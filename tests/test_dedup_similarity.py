@@ -1089,3 +1089,37 @@ def test_near_dup_clusters_star_fixture_parity(spark):
     pairs.unpersist()
     assert star == prop
     assert len(set(prop.values())) < len(prop)  # real clusters exist
+
+
+def test_duplicate_spans_constructed(spark):
+    """Pins the substring-dedup semantics on hand-computed shapes:
+    cross-doc shared 8-gram (one exact-k span each side), within-doc
+    repetition with a gap > k (two separate spans), a 9-token shared
+    run whose two overlapping windows must MERGE into one 9-token span
+    (the interval-union case — naive per-window summing would say 16),
+    and a below-k doc (no windows at all)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x1 x2 x3"),
+            (2, "z1 a b c d e f g h z2 z3"),
+            (3, "p q r s t u v w m1 m2 p q r s t u v w"),
+            (4, "k1 k2 k3 k4 k5 k6 k7 k8 k9 y1"),
+            (5, "w0 k1 k2 k3 k4 k5 k6 k7 k8 k9"),
+            (6, "u1 u2 u3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.max_span, r.dup_ratio)
+        for r in duplicate_spans(docs, k=8, min_count=2).collect()
+    }
+    assert out[1] == (11, 1, 8, 8, 0.7273)
+    assert out[2] == (11, 1, 8, 8, 0.7273)
+    assert out[3] == (18, 2, 16, 8, 0.8889)
+    assert out[4] == (10, 1, 9, 9, 0.9)
+    assert out[5] == (10, 1, 9, 9, 0.9)
+    assert out[6] == (3, 0, 0, 0, 0.0)

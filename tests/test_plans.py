@@ -381,3 +381,25 @@ def test_value_percentiles_single_shuffle(spark):
     plan = explain_str(df)
     assert "BatchEvalPython" not in plan
     assert "percentile" in plan.lower()
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Substring-dedup audit stays JVM with exactly the intended
+    shuffles: gram counts have map-side partials before their
+    exchange, and the single doc_id exchange feeds BOTH window
+    functions AND both downstream groupBys (island spans + per-doc
+    rollup) with no re-partitioning between them."""
+    df = e.q_duplicate_spans(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("HashAggregate") >= 6  # partial+final x (cnt, spans, rollup)
+    assert plan.count("Window (") == 2  # lag + running sum, no third
+    # windows AND the island/doc rollups share ONE doc_id exchange:
+    # the only hash shuffles are the gram count and that doc_id
+    # exchange (everything else broadcasts at this scale)
+    import re
+
+    shuffles = re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE)
+    assert len(shuffles) == 2, plan
