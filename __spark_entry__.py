@@ -801,6 +801,27 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(planted, k=8, min_count=2)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling at a real operating point: raw pool
+    = the English documents, target domain = the German documents;
+    hashed-unigram generative models at 256 buckets, top-50 selection.
+    Gates the bucket hashing, Laplace-smoothed integer-bits
+    log-ratio, the n_words*const normalizer, and the deterministic
+    (weight desc, doc_id asc) cut
+    (operators/textstats.py::dsir_select)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        dsir_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_select(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") == "de"),
+        n_buckets=256,
+        k=50,
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-BENCHMARK-doc leakage report (inverse of decontamination —
     the view the eval owner reads): the %25 planted benchmark set
@@ -2790,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_sample": q_perplexity_sample,
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
+        "dsir_select": q_dsir_select,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3502,6 +3524,46 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+# DSIR replayed exactly: sha60 bucket hashing and integer-bits log2
+# are both engine-portable; ties at the top-k cut break on doc_id
+_DSIR_SELECT_SQL = f"""
+WITH rawd AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+rw AS (
+  SELECT doc_id, {_sha60("'w-' || word")} % 256 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM rawd)
+),
+tw AS (
+  SELECT doc_id, {_sha60("'w-' || word")} % 256 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM tgt)
+),
+tc AS (SELECT bucket, count(*) AS tc FROM tw GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS rc FROM rw GROUP BY bucket),
+score AS (
+  SELECT rc.bucket,
+         (length(bin(COALESCE(tc.tc, 0) + 1)) - 1)
+         - (length(bin(rc.rc + 1)) - 1) AS score_bits
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+),
+consts AS (
+  SELECT (length(bin((SELECT count(*) FROM rw) + 256)) - 1)
+         - (length(bin((SELECT count(*) FROM tw) + 256)) - 1) AS c_bits
+),
+per_doc AS (
+  SELECT rw.doc_id, count(*) AS n_words, sum(score_bits) AS sum_bits
+  FROM rw JOIN score ON rw.bucket = score.bucket
+  GROUP BY rw.doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_bits + n_words * (SELECT c_bits FROM consts) AS BIGINT)
+           AS weight_bits
+FROM per_doc
+ORDER BY weight_bits DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 # integer-bits surprisal replayed exactly: floor(log2(x)) =
 # length(bin(x)) - 1 in both engines (verified: minimal-digit binary
 # strings match for 1/5/1024)
@@ -4203,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_sample": _perplexity_sample_oracle_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
+        "dsir_select": _DSIR_SELECT_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_tokenize": _bpe_tokenize_oracle_sql(),

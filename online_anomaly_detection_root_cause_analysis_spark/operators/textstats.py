@@ -1219,3 +1219,92 @@ def duplicate_spans(
             / 10000.0
         ).alias("dup_ratio"),
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): score
+    every raw-pool document by the log-likelihood ratio of a hashed
+    bag-of-words generative model trained on the TARGET domain vs one
+    trained on the raw pool, and keep the top-k — the stage that tilts
+    a web-scale corpus toward a target distribution (Wikipedia, a
+    benchmark domain, a language) without handwritten rules.
+
+    Model: words hash into `n_buckets` buckets (sha60 — deterministic
+    across engines and retries); p(bucket) is Laplace-smoothed
+    (count+1)/(total+B). Scores are QUANTIZED to integer bits exactly
+    like unigram_surprisal: per-word score = floor(log2(tc+1)) -
+    floor(log2(rc+1)) plus the constant normalizer bits, with
+    floor(log2(x)) = length(bin(x))-1 — no float transcendentals, so
+    the DuckDB oracle replays weights bit-for-bit (a production run
+    would use float ln; the quantization coarsens resolution, not the
+    plan). Ties at the cut break by doc_id ascending: fully
+    deterministic output.
+
+    100-TB shape: two explode+groupBy word-count shuffles whose final
+    key space is `n_buckets` (partial agg collapses map-side, the
+    shuffle is B rows per mapper regardless of corpus size); the
+    scoring table is B rows — broadcast, so scoring itself is
+    map-side; the per-doc rollup is the one corpus-proportional
+    shuffle; top-k is TakeOrdered (per-partition heads, no global
+    sort). The target corpus may be big or small — nothing here
+    collects it."""
+    from ..functions.text import sha60_col
+
+    def word_buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        ).select(
+            "doc_id",
+            F.pmod(
+                sha60_col(F.concat(F.lit("w-"), F.col("word"))),
+                F.lit(n_buckets),
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+
+    rw = word_buckets(raw)
+    tw = word_buckets(target)
+    tc = tw.groupBy("bucket").agg(F.count("*").alias("tc"))
+    rc = rw.groupBy("bucket").agg(F.count("*").alias("rc"))
+
+    def bits(c):
+        return (F.length(F.bin(c)) - 1).cast("long")
+
+    score = rc.join(tc, "bucket", "left").select(
+        "bucket",
+        (
+            bits(F.coalesce(F.col("tc"), F.lit(0)) + 1) - bits(F.col("rc") + 1)
+        ).alias("score_bits"),
+    )
+    consts = (
+        tw.agg((F.count("*") + n_buckets).alias("tt"))
+        .join(rw.agg((F.count("*") + n_buckets).alias("tr")))
+        .select((bits(F.col("tr")) - bits(F.col("tt"))).alias("c_bits"))
+    )
+    per_doc = (
+        rw.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("score_bits").alias("sum_bits"))
+    )
+    return (
+        per_doc.join(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("sum_bits") + F.col("n_words") * F.col("c_bits"))
+            .cast("long")
+            .alias("weight_bits"),
+        )
+        .orderBy(F.col("weight_bits").desc(), F.col("doc_id"))
+        .limit(k)
+    )

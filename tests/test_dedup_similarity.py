@@ -1123,3 +1123,32 @@ def test_duplicate_spans_constructed(spark):
     assert out[4] == (10, 1, 9, 9, 0.9)
     assert out[5] == (10, 1, 9, 9, 0.9)
     assert out[6] == (3, 0, 0, 0, 0.0)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR must rank the raw doc written in the target domain's
+    vocabulary above one written off-domain, and the cut must break
+    weight ties deterministically by doc_id."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        dsir_select,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta gamma alpha beta"),
+         (101, "beta alpha beta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma beta alpha"),   # on-domain
+         (2, "xray yankee zulu quebec victor whisky"),  # off-domain
+         (3, "alpha xray beta zulu gamma quebec")],  # mixed
+        "doc_id long, text string",
+    )
+    out = dsir_select(raw, target, n_buckets=64, k=3).collect()
+    ranked = [r.doc_id for r in out]
+    w = {r.doc_id: r.weight_bits for r in out}
+    assert w[1] > w[3] > w[2]
+    assert ranked == sorted(w, key=lambda d: (-w[d], d))
+
+    top1 = dsir_select(raw, target, n_buckets=64, k=1).collect()
+    assert [r.doc_id for r in top1] == [1]
