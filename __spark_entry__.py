@@ -822,6 +822,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) dataset-card rollup: doc/token/char counts,
+    mean + exact p50/p95 char-length distribution, and within-slice
+    exact-duplicate document counts (planted: every doc_id % 25 == 0
+    doc gets a byte-exact twin at id+3_000_000 in the SAME slice, so
+    the dup column is nonzero and slice-local counting is gated)
+    (operators/textstats.py::dataset_card)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    return dataset_card(docs.unionByName(twins))
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-BENCHMARK-doc leakage report (inverse of decontamination —
     the view the eval owner reads): the %25 planted benchmark set
@@ -2812,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
         "dsir_select": q_dsir_select,
+        "dataset_card": q_dataset_card,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3521,6 +3542,51 @@ SELECT b.doc_id,
        floor(COALESCE(a.dup_tokens, 0) * 1.0 / b.n_tokens * 10000 + 0.5) / 10000
          AS dup_ratio
 FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# F.percentile == quantile_cont (same exact continuous interpolation,
+# quantized 6dp); the dup rollup counts docs sharing a sha256 WITHIN
+# the (lang, source) slice only
+_DATASET_CARD_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text, lang, source FROM documents
+  WHERE doc_id % 25 = 0
+),
+base AS (
+  SELECT lang, source,
+         length(text) AS n_chars,
+         len(string_split(trim(text), ' ')) AS n_toks,
+         sha256(text) AS sha
+  FROM corpus
+),
+card AS (
+  SELECT lang, source,
+         count(*) AS n_docs,
+         sum(n_toks) AS n_tokens,
+         sum(n_chars) AS total_chars,
+         floor(avg(n_toks) * 10000 + 0.5) / 10000 AS mean_doc_tokens,
+         floor(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) / 1e6 AS p50_chars,
+         floor(quantile_cont(n_chars, 0.95) * 1e6 + 0.5) / 1e6 AS p95_chars
+  FROM base GROUP BY lang, source
+),
+d AS (
+  SELECT lang, source, sha, count(*) AS c FROM base GROUP BY 1, 2, 3
+),
+da AS (
+  SELECT lang, source,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_exact_dup_docs
+  FROM d GROUP BY lang, source
+)
+SELECT card.lang, card.source,
+       CAST(card.n_docs AS BIGINT) AS n_docs,
+       CAST(card.n_tokens AS BIGINT) AS n_tokens,
+       CAST(card.total_chars AS BIGINT) AS total_chars,
+       card.mean_doc_tokens, card.p50_chars, card.p95_chars,
+       CAST(da.n_exact_dup_docs AS BIGINT) AS n_exact_dup_docs
+FROM card JOIN da USING (lang, source)
 """
 
 
@@ -4266,6 +4332,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
+        "dataset_card": _DATASET_CARD_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_tokenize": _bpe_tokenize_oracle_sql(),

@@ -1308,3 +1308,57 @@ def dsir_select(
         .orderBy(F.col("weight_bits").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-(lang, source) dataset-card statistics — the summary table
+    a training-data release publishes (HuggingFace dataset cards,
+    Dolma/RedPajama reports): document and token counts, char-length
+    distribution (mean + exact p50/p95), and how many documents are
+    byte-exact duplicates of another document in the SAME slice.
+
+    100-TB shape: two shuffles, both with map-side partials. (1) the
+    card rollup groups on the (lang, source) slice key — thousands of
+    groups, tiny reduce side; exact F.percentile buffers each slice's
+    lengths on its reducer, the honest profiling cost (the production
+    variant at petabyte slices is percentile_approx / t-digest, which
+    loses the oracle — same trade documented at grouped_percentiles).
+    (2) the dup count groups on (lang, source, sha256(text)) — corpus-
+    proportional key space, partial agg collapses exact copies
+    map-side — then folds to the slice key (re-shuffle of one row per
+    distinct text). Both results join on the slice key (broadcast —
+    card tables are small by construction)."""
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_toks"),
+        F.sha2(F.col(text_col), 256).alias("sha"),
+    )
+    card = base.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.floor(F.avg("n_toks") * 10000.0 + 0.5) / 10000.0).alias("mean_doc_tokens"),
+        (F.floor(F.percentile(F.col("n_chars"), F.lit(0.5)) * 1e6 + 0.5) / 1e6).alias("p50_chars"),
+        (F.floor(F.percentile(F.col("n_chars"), F.lit(0.95)) * 1e6 + 0.5) / 1e6).alias("p95_chars"),
+    )
+    dup = (
+        base.groupBy("lang", "source", "sha")
+        .agg(F.count("*").alias("c"))
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_exact_dup_docs")
+        )
+    )
+    return card.join(dup, ["lang", "source"]).select(
+        "lang", "source", "n_docs", "n_tokens", "total_chars",
+        "mean_doc_tokens", "p50_chars", "p95_chars", "n_exact_dup_docs",
+    )

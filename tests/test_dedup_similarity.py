@@ -1152,3 +1152,41 @@ def test_dsir_select_prefers_target_like_docs(spark):
 
     top1 = dsir_select(raw, target, n_buckets=64, k=1).collect()
     assert [r.doc_id for r in top1] == [1]
+
+
+def test_dataset_card_constructed(spark):
+    """Pins the card semantics: exact interpolated p50/p95 over a
+    known length set, token totals, and SLICE-LOCAL dup counting (a
+    text repeated across two sources must not count as a dup in
+    either)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    rows = [
+        # en/srcA: lengths 1,3,5,7 chars -> p50 = 4.0, p95 = 6.7
+        (1, "a", "en", "srcA"),
+        (2, "abc", "en", "srcA"),
+        (3, "ab cd", "en", "srcA"),
+        (4, "abc def", "en", "srcA"),
+        # dup pair inside en/srcB
+        (5, "same text here", "en", "srcB"),
+        (6, "same text here", "en", "srcB"),
+        (7, "unique one", "en", "srcB"),
+        # same text as 5/6 but in a DIFFERENT slice: not a dup there
+        (8, "same text here", "de", "srcB"),
+    ]
+    out = {
+        (r.lang, r.source): r
+        for r in dataset_card(
+            spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+        ).collect()
+    }
+    a = out[("en", "srcA")]
+    assert (a.n_docs, a.n_tokens, a.total_chars) == (4, 6, 16)
+    assert a.p50_chars == 4.0 and abs(a.p95_chars - 6.7) < 1e-9
+    assert a.mean_doc_tokens == 1.5
+    assert a.n_exact_dup_docs == 0
+    b = out[("en", "srcB")]
+    assert b.n_docs == 3 and b.n_exact_dup_docs == 2
+    assert out[("de", "srcB")].n_exact_dup_docs == 0
