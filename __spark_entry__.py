@@ -842,6 +842,19 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(docs.unionByName(twins))
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding over the documents table at 16
+    shards: gates the shard hash, the within-shard order keys, and
+    the order-insensitive XOR membership checksum
+    (operators/textstats.py::shard_manifest)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        shard_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_manifest(docs, n_shards=16)
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-BENCHMARK-doc leakage report (inverse of decontamination —
     the view the eval owner reads): the %25 planted benchmark set
@@ -2833,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "dsir_select": q_dsir_select,
         "dataset_card": q_dataset_card,
+        "shard_manifest": q_shard_manifest,
         "top_words_per_lang": q_top_words_per_lang,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3542,6 +3556,26 @@ SELECT b.doc_id,
        floor(COALESCE(a.dup_tokens, 0) * 1.0 / b.n_tokens * 10000 + 0.5) / 10000
          AS dup_ratio
 FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH base AS (
+  SELECT {_sha60("'shard-' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         {_sha60("'order-' || CAST(doc_id AS VARCHAR)")} AS okey,
+         {_sha60("'doc-' || CAST(doc_id AS VARCHAR)")} AS doc_sha,
+         len(string_split(trim(text), ' ')) AS n_toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(okey) AS BIGINT) AS min_order_key,
+       CAST(max(okey) AS BIGINT) AS max_order_key,
+       CAST(bit_xor(doc_sha) AS BIGINT) AS ids_xor
+FROM base GROUP BY shard
 """
 
 
@@ -4333,6 +4367,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "dataset_card": _DATASET_CARD_SQL,
+        "shard_manifest": _SHARD_MANIFEST_SQL,
         "top_words_per_lang": _TOP_WORDS_PER_LANG_SQL,
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_tokenize": _bpe_tokenize_oracle_sql(),

@@ -1362,3 +1362,52 @@ def dataset_card(
         "lang", "source", "n_docs", "n_tokens", "total_chars",
         "mean_doc_tokens", "p50_chars", "p95_chars", "n_exact_dup_docs",
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-export shard assignment + manifest — the last stage of
+    a pre-training pipeline: every document gets a deterministic shard
+    (hash, not round-robin: stable under retries and re-runs, no
+    coordination) and a deterministic within-shard order key (the
+    "global shuffle before training", as a sortable column instead of
+    an actual shuffle pass), and each shard emits a manifest row the
+    training job validates against after download.
+
+    Manifest: n_docs, n_tokens, total_chars, the shard's min/max
+    order keys (resume bookmarks), and ids_xor — an order-insensitive
+    XOR checksum of the member sha60 ids (commutative, overflow-free,
+    catches any lost/duplicated document without sorting anything).
+
+    100-TB shape: pure map-side column math followed by ONE groupBy
+    on the shard id — n_shards reduce keys, partial aggs collapse
+    map-side, no skew (sha60 is uniform). The actual byte export
+    would `repartitionByRange(shard, order_key).write` using these
+    same columns; the manifest is what makes that export auditable."""
+    from ..functions.text import sha60_col
+
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(
+        sha60_col(F.concat(F.lit("shard-"), sid)), F.lit(n_shards)
+    ).cast("long")
+    okey = sha60_col(F.concat(F.lit("order-"), sid))
+    doc_sha = sha60_col(F.concat(F.lit("doc-"), sid))
+    base = docs.select(
+        shard.alias("shard"),
+        okey.alias("okey"),
+        doc_sha.alias("doc_sha"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_toks"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    return base.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("okey").cast("long").alias("min_order_key"),
+        F.max("okey").cast("long").alias("max_order_key"),
+        F.bit_xor("doc_sha").cast("long").alias("ids_xor"),
+    )

@@ -1190,3 +1190,31 @@ def test_dataset_card_constructed(spark):
     b = out[("en", "srcB")]
     assert b.n_docs == 3 and b.n_exact_dup_docs == 2
     assert out[("de", "srcB")].n_exact_dup_docs == 0
+
+
+def test_shard_manifest_checksum_catches_loss_and_dup(spark):
+    """The manifest's invariants: shards partition the corpus (doc
+    counts sum to N), assignment is deterministic across runs, and
+    the XOR membership checksum changes when a doc is dropped and
+    when one is duplicated (the two export failure modes), but is
+    order-insensitive."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    m1 = {r.shard: r for r in shard_manifest(docs, n_shards=8).collect()}
+    assert sum(r.n_docs for r in m1.values()) == 200
+    m2 = {r.shard: r for r in shard_manifest(docs.orderBy(F.rand(42)), n_shards=8).collect()}
+    assert {s: r.ids_xor for s, r in m1.items()} == {s: r.ids_xor for s, r in m2.items()}
+
+    dropped = shard_manifest(docs.filter(F.col("doc_id") != 7), n_shards=8).collect()
+    duped = shard_manifest(
+        docs.unionByName(docs.filter(F.col("doc_id") == 7)), n_shards=8
+    ).collect()
+    x1 = {r.shard: r.ids_xor for r in m1.values()}
+    assert {r.shard: r.ids_xor for r in dropped} != x1
+    assert {r.shard: r.ids_xor for r in duped} != x1
