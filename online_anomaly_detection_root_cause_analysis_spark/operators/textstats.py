@@ -199,6 +199,7 @@ def bpe_merges(
     docs: DataFrame,
     n_merges: int = 5,
     text_col: str = "text",
+    max_driver_vocab: int = 1_000_000,
 ) -> DataFrame:
     """Tokenizer-vocabulary induction — the first `n_merges` BPE merge
     rules (Sennrich et al. 2016) learned from the corpus, the training
@@ -208,43 +209,91 @@ def bpe_merges(
     with frequencies (one shuffle — pair statistics are identical on
     weighted types vs raw occurrences, and the vocab is orders of
     magnitude smaller than a 100-TB corpus, exactly how reference BPE
-    trainers work). Each round then costs ONE pair-count shuffle with
-    map-side partials over the persisted vocab (symbol pairs via JVM
-    higher-order functions), a single-ROW argmax collect (the merge
-    rule itself — bounded driver traffic by construction, like the
-    convergence scalar in near_dup_clusters), and a map-side string
-    replace applying the rule; the vocab is re-persisted per round to
-    truncate lineage (the legitimately-iterative-operator rule).
+    trainers work: SentencePiece/HF trainers count words distributed
+    and run the merge loop on ONE node). This mirrors that exactly:
+    if the vocab fits `max_driver_vocab` (checked via limit(cap+1),
+    never an unbounded collect) the merge loop runs driver-side in
+    pure Python — byte-identical semantics, zero per-round job
+    overhead (16 rounds of Spark scheduling on a kilobyte vocab cost
+    ~20 s at sf0.1; the driver loop costs milliseconds). Over the cap
+    — web-scale tail vocabs with no frequency floor — it falls to the
+    distributed round loop: ONE pair-count shuffle with map-side
+    partials per round, a single-ROW argmax collect, a map-side
+    replace, vocab re-persisted per round to truncate lineage. Both
+    paths are parity-tested against each other.
 
     Merge application is SINGLE-PASS left-to-right non-overlapping
     string replacement of ` L R ` in the space-joined symbol string —
-    verified byte-identical between Spark's replace and DuckDB's (both
-    resume scanning after each replacement). For SELF-OVERLAPPING
-    pairs (L == R, e.g. `a a a a a`) this differs from canonical
-    greedy BPE in where the unpaired symbol lands ([aa a aa] vs
-    [aa aa a]) — same merge count, shifted adjacency for later
-    rounds; a documented determinism-over-canonicality choice.
-    Ties break (count desc, left asc, right asc).
+    verified byte-identical between Spark's replace, Python's
+    str.replace, and DuckDB's (all resume scanning after each
+    replacement). For SELF-OVERLAPPING pairs (L == R, e.g.
+    `a a a a a`) this differs from canonical greedy BPE in where the
+    unpaired symbol lands ([aa a aa] vs [aa aa a]) — same merge
+    count, shifted adjacency for later rounds; a documented
+    determinism-over-canonicality choice. Ties break
+    (count desc, left asc, right asc) — Python tuple comparison and
+    Spark's UTF8 binary string order agree (UTF-8 byte order equals
+    code-point order).
 
-    Returns the merge table: (rank, left, right, merged, pair_count)
-    — built from the n_merges collected argmax rows (the vocab
-    artifact is tiny by definition)."""
+    Returns the merge table: (rank, left, right, merged, pair_count)."""
     spark = docs.sparkSession
+    schema = "rank long, left string, right string, merged string, pair_count long"
     word_freq = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("w"))
     )
-    # The vocab is DISTINCT WORDS — orders of magnitude smaller than
-    # the corpus by construction (real BPE trainers run it on one
-    # node). Coalesce to few partitions so the 16+ sequential rounds
-    # don't pay 32-task stage overhead for kilobyte inputs: at sf0.1
-    # the per-round argmax went ~2.5 s -> ~0.3 s (the corpus-sized
-    # work is the ONE word-count shuffle above, untouched). No eager
-    # materialization either — the round's argmax job is the first
-    # consumer of each persisted vocab; the PREVIOUS round's cache is
-    # released only after the argmax has materialized the current one
-    # (prev handle below) or unpersisting would force a recompute.
+    head = word_freq.limit(max_driver_vocab + 1).collect()
+    if len(head) <= max_driver_vocab:
+        merges = _bpe_merge_loop_driver(
+            [(r["word"], int(r["w"])) for r in head], n_merges
+        )
+    else:
+        merges = _bpe_merge_loop_distributed(word_freq, n_merges)
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_merge_loop_driver(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side merge loop over a bounded (word, freq) vocab.
+    Must stay byte-identical to the distributed loop: same padded
+    single-pass ` L R ` -> ` LR ` replacement, same
+    (count desc, left asc, right asc) argmax."""
+    seqs = [(list(word), w) for word, w in vocab]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, w in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + w
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, c))
+        old, new = f" {l} {r} ", f" {l}{r} "
+        seqs = [
+            (
+                (" " + " ".join(syms) + " ").replace(old, new).split()
+                if len(syms) >= 2
+                else syms,
+                w,
+            )
+            for syms, w in seqs
+        ]
+    return merges
+
+
+def _bpe_merge_loop_distributed(word_freq: DataFrame, n_merges: int):
+    """The over-cap fallback: per round one pair-count shuffle over
+    the persisted vocab, a 1-row argmax collect, a map-side replace;
+    vocab re-persisted per round to truncate lineage. Coalesce(1)
+    because sequential rounds on a small-per-partition vocab pay
+    stage overhead per task otherwise (corpus-sized work is the ONE
+    word-count shuffle upstream, untouched)."""
     vocab = (
         word_freq.select(
             "w", F.concat_ws(" ", F.split(F.col("word"), "")).alias("seq")
@@ -296,9 +345,7 @@ def bpe_merges(
     if prev is not None:
         prev.unpersist()
     vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, merged string, pair_count long"
-    )
+    return merges
 
 
 def bpe_tokenize(

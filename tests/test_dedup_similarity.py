@@ -1218,3 +1218,31 @@ def test_shard_manifest_checksum_catches_loss_and_dup(spark):
     x1 = {r.shard: r.ids_xor for r in m1.values()}
     assert {r.shard: r.ids_xor for r in dropped} != x1
     assert {r.shard: r.ids_xor for r in duped} != x1
+
+
+def test_bpe_driver_and_distributed_loops_agree(spark):
+    """The driver-side merge loop (vocab under max_driver_vocab) and
+    the distributed round loop (forced via max_driver_vocab=0) must
+    produce the IDENTICAL merge table — including on a vocab with a
+    self-overlapping pair (l == r), where single-pass replacement
+    placement is the subtle case, and on the real fixture corpus."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bpe_merges,
+    )
+
+    tricky = spark.createDataFrame(
+        [(1, "aaaaa aaaa banana bananas cabana"),
+         (2, "banana aaaaa abc abcabc"),
+         (3, "x yz yz x abcabc banana")],
+        "doc_id long, text string",
+    )
+    fast = [tuple(r) for r in bpe_merges(tricky, n_merges=10).orderBy("rank").collect()]
+    slow = [tuple(r) for r in
+            bpe_merges(tricky, n_merges=10, max_driver_vocab=0).orderBy("rank").collect()]
+    assert fast == slow and len(fast) == 10
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = [tuple(r) for r in bpe_merges(docs, n_merges=8).orderBy("rank").collect()]
+    slow = [tuple(r) for r in
+            bpe_merges(docs, n_merges=8, max_driver_vocab=0).orderBy("rank").collect()]
+    assert fast == slow and len(fast) == 8
