@@ -117,6 +117,50 @@ def document_repetition_ratios(
     )
 
 
+def gopher_rule_cols(
+    t,
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stopwords: int = 2,
+    stopword_probe: int = 5,
+) -> dict:
+    """The Gopher rule EXPRESSIONS over a text Column — shared by
+    gopher_quality_filter (the per-doc report operator) and by
+    pipeline compositions that want to .filter(passes) INLINE instead
+    of semi-joining the operator's output back against its own input
+    (which doubles the upstream plan subtree per stage — the analyzer
+    cost that made the lazily-composed curation pipeline slower than
+    its own data)."""
+    from ..functions.text import STOPWORDS
+
+    words = F.split(t, " ")
+    wc = F.size(words)
+    mean_len = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / wc
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            words, F.array(*[F.lit(s) for s in STOPWORDS[:stopword_probe]])
+        )
+    )
+    rule_wc = (wc >= min_words) & (wc <= max_words)
+    rule_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    rule_stop = n_stop >= min_stopwords
+    return {
+        "word_count": wc,
+        "mean_word_len": mean_len,
+        "n_stopwords": n_stop,
+        "rule_word_count": rule_wc,
+        "rule_mean_len": rule_len,
+        "rule_stopwords": rule_stop,
+        "passes": rule_wc & rule_len & rule_stop,
+    }
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     min_words: int = 40,
@@ -143,32 +187,24 @@ def gopher_quality_filter(
     document whose only stopwords fall outside that prefix fails
     rule_stopwords by design; pass `stopword_probe=len(STOPWORDS)` for
     the full-list variant. The driver oracle pins the default (5)."""
-    from ..functions.text import STOPWORDS
-
-    words = F.split(F.col(text_col), " ")
-    wc = F.size(words)
-    mean_len = (
-        F.aggregate(words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .cast("double")
-        / wc
+    r = gopher_rule_cols(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_len=min_mean_len,
+        max_mean_len=max_mean_len,
+        min_stopwords=min_stopwords,
+        stopword_probe=stopword_probe,
     )
-    n_stop = F.size(
-        F.array_intersect(
-            words, F.array(*[F.lit(s) for s in STOPWORDS[:stopword_probe]])
-        )
-    )
-    rule_wc = (wc >= min_words) & (wc <= max_words)
-    rule_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
-    rule_stop = n_stop >= min_stopwords
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        wc.cast("long").alias("word_count"),
-        (F.floor(mean_len * 1e6 + 0.5) / 1e6).alias("mean_word_len"),
-        n_stop.cast("long").alias("n_stopwords"),
-        rule_wc.alias("rule_word_count"),
-        rule_len.alias("rule_mean_len"),
-        rule_stop.alias("rule_stopwords"),
-        (rule_wc & rule_len & rule_stop).alias("passes"),
+        r["word_count"].cast("long").alias("word_count"),
+        (F.floor(r["mean_word_len"] * 1e6 + 0.5) / 1e6).alias("mean_word_len"),
+        r["n_stopwords"].cast("long").alias("n_stopwords"),
+        r["rule_word_count"].alias("rule_word_count"),
+        r["rule_mean_len"].alias("rule_mean_len"),
+        r["rule_stopwords"].alias("rule_stopwords"),
+        r["passes"].alias("passes"),
     )
 
 
@@ -574,6 +610,25 @@ def top_words_per_key(
     )
 
 
+def sample_keep_cols(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """(sample_bucket, keep_below) EXPRESSIONS for the deterministic
+    stratified sample — shared by deterministic_stratified_sample and
+    by inline pipeline stages (keep iff bucket < keep_below)."""
+    from ..functions.text import sha60_col
+
+    key = F.concat(F.lit("doc-"), F.col(id_col).cast("string"))
+    bucket = F.pmod(sha60_col(key), F.lit(10000)).cast("long")
+    rate = F.lit(float(default_rate))
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col(lang_col) == lang, F.lit(float(r))).otherwise(rate)
+    return bucket, F.floor(rate * 10000).cast("long")
+
+
 def deterministic_stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],
@@ -589,19 +644,15 @@ def deterministic_stratified_sample(
     idempotent under task retries and lets the DuckDB oracle recompute
     membership exactly. Pure map-side column math: no shuffle, fully
     partition-parallel, and the decision depends only on the row."""
-    from ..functions.text import sha60_col
-
-    key = F.concat(F.lit("doc-"), F.col(id_col).cast("string"))
-    bucket = F.pmod(sha60_col(key), F.lit(10000))
-    rate = F.lit(float(default_rate))
-    for lang, r in sorted(rates.items()):
-        rate = F.when(F.col(lang_col) == lang, F.lit(float(r))).otherwise(rate)
+    bucket, keep_below = sample_keep_cols(
+        rates, default_rate=default_rate, lang_col=lang_col, id_col=id_col
+    )
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.col(lang_col).alias("lang"),
-            bucket.cast("long").alias("sample_bucket"),
-            (F.floor(rate * 10000)).cast("long").alias("keep_below"),
+            bucket.alias("sample_bucket"),
+            keep_below.alias("keep_below"),
         )
         .filter(F.col("sample_bucket") < F.col("keep_below"))
     )
@@ -1124,6 +1175,25 @@ def _luhn_valid(c):
     return s % 10 == 0
 
 
+def redacted_text_col(t):
+    """The redaction EXPRESSION (email -> phone -> IPv4 -> card
+    chained regexp_replace) over a text Column — shared by redact_pii
+    and by inline pipeline stages (same rationale as
+    gopher_rule_cols: a map-side stage should be a projection, not a
+    self-join)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+            IPV4_RE,
+            "<IP>",
+        ),
+        CARD_RE,
+        "<CARD>",
+    )
+
+
 def redact_pii(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1151,17 +1221,7 @@ def redact_pii(
     cards = F.regexp_extract_all(t, F.lit(CARD_RE), F.lit(0))
     n_cards = F.size(cards)
     n_cards_valid = F.size(F.filter(cards, _luhn_valid))
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-            ),
-            IPV4_RE,
-            "<IP>",
-        ),
-        CARD_RE,
-        "<CARD>",
-    )
+    red = redacted_text_col(t)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_emails.cast("long").alias("n_emails"),
