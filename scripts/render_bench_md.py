@@ -145,6 +145,8 @@ def main() -> None:
     multikey = _load(os.path.join(REPO, "BENCH", "multikey.json"))
     correctness_file = _latest("CORRECTNESS_r*.json")
     correctness = _load(correctness_file)
+    sweep_file = _latest("BENCH/correctness_sweep_r*.json")
+    sweep = _load(sweep_file)
 
     q = bench["queries"]
     total = bench["value"]
@@ -397,19 +399,38 @@ reference keyBy(0) semantics.
 """
         )
 
-    if correctness:
-        n_total = len(correctness)
-        n_hash = sum(1 for v in correctness.values() if v.get("hash_match"))
-        n_no_oracle = sum(
-            1 for v in correctness.values() if v.get("err") == "no_oracle"
-        )
+    if correctness or sweep:
+        def gate_counts(d):
+            return (
+                sum(1 for v in d.values() if v.get("hash_match")),
+                len(d),
+                sum(1 for v in d.values() if v.get("err") == "no_oracle"),
+            )
+
+        lines = []
+        if sweep:
+            h, t, no = gate_counts(sweep)
+            lines.append(
+                f"Builder sweep `{os.path.relpath(sweep_file, REPO)}` "
+                f"(scripts/correctness_sweep.py at sf0.01, the full current "
+                f"query set): **{h}/{t} hash-green**, {no} rows-only."
+            )
+        if correctness:
+            h, t, no = gate_counts(correctness)
+            lines.append(
+                f"Driver gate artifact `{os.path.basename(correctness_file)}` "
+                f"(recorded at that round's query set): {h}/{t} hash-green, "
+                f"{no} rows-only."
+            )
+        body = "\n\n".join(lines)
         parts.append(
             f"""
-## Correctness gate status ({os.path.basename(correctness_file)})
+## Correctness gate status
 
-{n_hash}/{n_total} driver queries value-hash-match their DuckDB
-oracles (rows+schema+hash all true); {n_no_oracle} rows-only
-(`no_oracle`: the stateful MacroBase FP-growth summarizer, golden- and
+{body}
+
+The rows-only entry is `macrobase_summaries` (`no_oracle`: the
+stateful MacroBase FP-growth summarizer, golden- and
 replay-parity-gated instead — its detector half is hash-gated via
 `macrobase_alerts`). tests/test_oracle_parity.py mirrors the gate at
 sf0.001; the driver runs it at sf0.01.
