@@ -1246,3 +1246,66 @@ def test_bpe_driver_and_distributed_loops_agree(spark):
     slow = [tuple(r) for r in
             bpe_merges(docs, n_merges=8, max_driver_vocab=0).orderBy("rank").collect()]
     assert fast == slow and len(fast) == 8
+
+
+def test_duplicate_spans_matches_bruteforce_on_random_corpora(spark):
+    """Randomized cross-check: on small corpora over a 4-token
+    alphabet (collisions everywhere), the operator must equal a
+    brute-force Python reference — global k-gram occurrence counts,
+    positions whose gram repeats, exact union of [p, p+k-1]
+    intervals. Catches off-by-ones in the islands logic that
+    hand-picked fixtures might miss."""
+    import random
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        duplicate_spans,
+    )
+
+    k, alphabet = 3, ["aa", "bb", "cc", "dd"]
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        docs = [
+            (i, [rng.choice(alphabet) for _ in range(rng.randint(1, 15))])
+            for i in range(30)
+        ]
+        # brute force
+        from collections import Counter
+        grams = Counter()
+        for _, toks in docs:
+            for p in range(len(toks) - k + 1):
+                grams[tuple(toks[p:p + k])] += 1
+        expected = {}
+        for i, toks in docs:
+            dup_pos = [
+                p for p in range(len(toks) - k + 1)
+                if grams[tuple(toks[p:p + k])] >= 2
+            ]
+            covered = set()
+            spans = 0
+            prev_end = None
+            for p in dup_pos:
+                covered.update(range(p, p + k))
+                if prev_end is None or p > prev_end + 1:
+                    spans += 1
+                prev_end = max(prev_end if prev_end is not None else -1, p + k - 1)
+            # max_span from merged intervals
+            max_span = 0
+            if dup_pos:
+                start = dup_pos[0]
+                end = dup_pos[0] + k - 1
+                for p in dup_pos[1:]:
+                    if p <= end + 1:
+                        end = max(end, p + k - 1)
+                    else:
+                        max_span = max(max_span, end - start + 1)
+                        start, end = p, p + k - 1
+                max_span = max(max_span, end - start + 1)
+            expected[i] = (len(toks), spans, len(covered), max_span)
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens, r.max_span)
+            for r in duplicate_spans(df, k=k, min_count=2).collect()
+        }
+        assert got == expected, f"seed {seed}"
