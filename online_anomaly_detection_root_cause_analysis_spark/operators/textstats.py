@@ -1494,7 +1494,15 @@ def shard_manifest(
     on the shard id — n_shards reduce keys, partial aggs collapse
     map-side, no skew (sha60 is uniform). The actual byte export
     would `repartitionByRange(shard, order_key).write` using these
-    same columns; the manifest is what makes that export auditable."""
+    same columns; the manifest is what makes that export auditable.
+
+    STREAMING: works unchanged on a streaming DataFrame (use
+    outputMode 'complete'/'update') — every aggregate here (count,
+    sum, min, max, bit_xor) is incrementally mergeable and the state
+    store holds exactly n_shards rows, so a continuously-exporting
+    pipeline maintains a LIVE manifest with no watermark required;
+    streaming == batch parity is test-gated
+    (tests/test_streaming.py::test_streaming_shard_manifest)."""
     from ..functions.text import sha60_col
 
     sid = F.col(id_col).cast("string")

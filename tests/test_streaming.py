@@ -1096,3 +1096,49 @@ def test_lsh_candidates_checkpoint_resume(spark, tmp_path):
         )
     )
     assert cross == len(early)
+
+
+def test_streaming_shard_manifest(spark, tmp_path):
+    """shard_manifest runs UNCHANGED on a stream (complete mode): all
+    its aggregates are incrementally mergeable and state is exactly
+    n_shards rows. The live manifest after the last micro-batch must
+    equal the batch manifest over the same rows — including the XOR
+    membership checksum, whose commutativity is what makes the
+    incremental fold order-independent across micro-batches."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        shard_manifest,
+    )
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(300)[
+        ["doc_id", "text"]
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(pdf, src, 3)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        shard_manifest(stream, n_shards=8)
+        .writeStream.format("memory").queryName("shard_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.shard: (r.n_docs, r.n_tokens, r.total_chars,
+                  r.min_order_key, r.max_order_key, r.ids_xor)
+        for r in spark.sql("SELECT * FROM shard_stream").collect()
+    }
+    want = {
+        r.shard: (r.n_docs, r.n_tokens, r.total_chars,
+                  r.min_order_key, r.max_order_key, r.ids_xor)
+        for r in shard_manifest(spark.createDataFrame(pdf), n_shards=8).collect()
+    }
+    assert got == want and sum(v[0] for v in got.values()) == 300
