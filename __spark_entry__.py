@@ -350,6 +350,36 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(pairs, all_docs=corpus)
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash gate for the large-star/small-star clusterer ITSELF
+    (operators/dedup.py::near_dup_clusters_star), decoupled from the
+    LSH pair pipeline (which near_dup_clusters already gates
+    end-to-end): a deterministic synthetic graph built from existing
+    doc_ids — 4-node chains (d, d+1 for d%10 in 0..2, emitted
+    big-first) and 3-spoke hubs (hub = d - d%20 for d%20 >= 17,
+    emitted small-first, so both edge orientations occur) — clustered
+    to min-id representatives with singletons from the corpus
+    complement. Oracle: the same recursive reachability CTE as
+    near_dup_clusters over the same synthetic edges."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_dup_clusters_star,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a, b = docs.alias("a"), docs.alias("b")
+    chain = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 10).isin(0, 1, 2),
+    ).select(F.col("b.doc_id").alias("doc_a"), F.col("a.doc_id").alias("doc_b"))
+    hub = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") - (F.col("a.doc_id") % 20))
+        & ((F.col("a.doc_id") % 20) >= 17),
+    ).select(F.col("b.doc_id").alias("doc_a"), F.col("a.doc_id").alias("doc_b"))
+    return near_dup_clusters_star(chain.unionByName(hub), all_docs=docs)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return document_text_stats(docs)
@@ -2848,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_star": q_near_dup_clusters_star,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -3045,6 +3076,40 @@ SELECT doc_id, cluster_rep FROM labels
 UNION ALL
 SELECT c.doc_id, c.doc_id AS cluster_rep
 FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+_NEAR_DUP_CLUSTERS_STAR_SQL = """
+WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+chain AS (
+  SELECT b.doc_id AS doc_a, a.doc_id AS doc_b
+  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 IN (0, 1, 2)
+),
+hub AS (
+  SELECT b.doc_id AS doc_a, a.doc_id AS doc_b
+  FROM ids a JOIN ids b ON b.doc_id = a.doc_id - (a.doc_id % 20)
+  WHERE a.doc_id % 20 >= 17
+),
+np AS (SELECT * FROM chain UNION ALL SELECT * FROM hub),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM np
+  UNION
+  SELECT doc_b, doc_a FROM np
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+labels AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+  FROM reach GROUP BY s
+)
+SELECT doc_id, cluster_rep FROM labels
+UNION ALL
+SELECT i.doc_id, i.doc_id AS cluster_rep
+FROM ids i LEFT JOIN labels l ON l.doc_id = i.doc_id
 WHERE l.doc_id IS NULL
 """
 
@@ -4365,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly the corpus-wide exact pair set
         "near_duplicates": _NGRAM_JACCARD_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
+        "near_dup_clusters_star": _NEAR_DUP_CLUSTERS_STAR_SQL,
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "language_id": _language_id_oracle_sql(),
