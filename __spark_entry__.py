@@ -380,6 +380,38 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters_star(chain.unionByName(hub), all_docs=docs)
 
 
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup at a real operating point:
+    OLD corpus = even doc_ids, NEW batch = odd doc_ids PLUS planted
+    near-copies of old docs (every old %20 == 0, last 5 tokens
+    dropped, id+4,000,000 — must match OLD) and of smaller new docs
+    (every %15 == 1 odd doc, id+5,000,000 — must match NEW). Oracle:
+    exact corpus-wide n-gram Jaccard over old ∪ new restricted to
+    (new, old) and (new, smaller-new) pairs — the LSH candidate stage
+    must find every exact match at this operating point, the same
+    recall contract near_duplicates is held to
+    (operators/dedup.py::incremental_near_dups)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new_base = docs.filter(F.col("doc_id") % 2 == 1)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+    )
+    near_old = old.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    near_new = new_base.filter(F.col("doc_id") % 15 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), trunc.alias("text")
+    )
+    new = new_base.unionByName(near_old).unionByName(near_new)
+    return incremental_near_dups(old, new, n=3, threshold=0.3, bands=32)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return document_text_stats(docs)
@@ -2879,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates": q_near_duplicates,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_star": q_near_dup_clusters_star,
+        "incremental_near_dups": q_incremental_near_dups,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -3078,6 +3111,71 @@ SELECT c.doc_id, c.doc_id AS cluster_rep
 FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
 WHERE l.doc_id IS NULL
 """
+
+_INCREMENTAL_NEAR_DUPS_SQL = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+new_base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+),
+near_old AS (
+  SELECT doc_id + 4000000 AS doc_id,
+         array_to_string(t[1:greatest(len(t)-5, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        WHERE doc_id % 2 = 0)
+  WHERE doc_id % 20 = 0
+),
+near_new AS (
+  SELECT doc_id + 5000000 AS doc_id,
+         array_to_string(t[1:greatest(len(t)-5, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        WHERE doc_id % 2 = 1)
+  WHERE doc_id % 15 = 1
+),
+newd AS (
+  SELECT * FROM new_base UNION ALL SELECT * FROM near_old
+  UNION ALL SELECT * FROM near_new
+),
+uni AS (
+  SELECT 'o' AS side, doc_id, text FROM old
+  UNION ALL SELECT 'n', doc_id, text FROM newd
+),
+toks AS (SELECT side, doc_id, string_split(trim(text), ' ') AS t FROM uni),
+sh AS (
+  SELECT DISTINCT side, doc_id, s AS shingle
+  FROM toks, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+),
+sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000),
+shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+c AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS other_id, b.side AS oside,
+         count(*) AS n_common
+  FROM shp a JOIN shp b ON a.shingle = b.shingle
+  WHERE a.side = 'n'
+    AND (b.side = 'o' OR (b.side = 'n' AND b.doc_id < a.doc_id))
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT new_id, oside
+  FROM c JOIN sz x ON c.new_id = x.doc_id JOIN sz y ON c.other_id = y.doc_id
+  WHERE n_common * 1.0 / (x.nsh + y.nsh - n_common) >= 0.3
+),
+agg AS (
+  SELECT new_id,
+         sum(CASE WHEN oside = 'o' THEN 1 ELSE 0 END) AS n_old,
+         sum(CASE WHEN oside = 'n' THEN 1 ELSE 0 END) AS n_new
+  FROM m GROUP BY new_id
+)
+SELECT nd.doc_id,
+       CAST(COALESCE(a.n_old, 0) AS BIGINT) AS n_old_matches,
+       CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new_matches,
+       (COALESCE(a.n_old, 0) = 0 AND COALESCE(a.n_new, 0) = 0) AS kept
+FROM newd nd LEFT JOIN agg a ON a.new_id = nd.doc_id
+"""
+
 
 _NEAR_DUP_CLUSTERS_STAR_SQL = """
 WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
@@ -4431,6 +4529,7 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicates": _NGRAM_JACCARD_SQL,
         "near_dup_clusters": _NEAR_DUP_CLUSTERS_SQL,
         "near_dup_clusters_star": _NEAR_DUP_CLUSTERS_STAR_SQL,
+        "incremental_near_dups": _INCREMENTAL_NEAR_DUPS_SQL,
         "minhash_lsh": _minhash_lsh_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "language_id": _language_id_oracle_sql(),

@@ -919,3 +919,125 @@ def near_dup_clusters_star(
         )
         out = out.unionByName(singletons)
     return out
+
+
+def incremental_near_dups(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    max_group: int = 1000,
+    token_hash: str = "xxhash64",
+    df_cap: int = 10_000,
+) -> DataFrame:
+    """Cross-snapshot INCREMENTAL fuzzy dedup — the monthly-dump
+    refresh pattern: a NEW batch of documents is near-dup-checked
+    against the already-curated OLD corpus (and against earlier docs
+    of the same batch) WITHOUT ever comparing old-vs-old again. This
+    is the operation that keeps a continuously-refreshed 100-TB
+    corpus deduplicated at per-dump cost instead of corpus-squared
+    cost.
+
+    Semantics (deterministic, oracle-replayable): a new doc MATCHES a
+    counterpart iff exact n-gram Jaccard >= threshold (same df_cap
+    convention as near_duplicates, document frequencies computed over
+    old ∪ new); counterparts are ALL old docs plus new docs with a
+    SMALLER id (the min-id-representative convention shared with
+    exact_duplicates/near_dup_clusters — non-recursive, so two
+    mutually-near new docs drop the bigger id and keep the smaller).
+    Returns one row per new doc: (doc_id, n_old_matches,
+    n_new_matches, kept).
+
+    Scale shape: candidates come from MinHash band-bucket equality —
+    new-side buckets probe old-side buckets (in production the old
+    side's banded signatures are the PREVIOUS run's output table:
+    this function recomputes them only to stay self-contained) plus a
+    new-vs-new banded self-join; the hot-bucket guard caps COMBINED
+    bucket sizes. Exact verification then touches candidate pairs
+    only, with ids never expanded corpus-wide. Requires old and new
+    ids to be disjoint (caller contract — snapshots carry distinct
+    ids)."""
+    old = old_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    new = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def _banded(side: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(side, n, num_hashes, "text", "doc_id", seed, token_hash)
+        return banded_signatures(sigs, num_hashes, bands).select(
+            "doc_id", "band_idx", "band_hash"
+        )
+
+    ob, nb = _banded(old), _banded(new)
+    sizes = (
+        ob.unionByName(nb)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_group)
+        .select("band_idx", "band_hash")
+    )
+    ob = ob.join(sizes, ["band_idx", "band_hash"], "left_semi")
+    nb = nb.join(sizes, ["band_idx", "band_hash"], "left_semi")
+
+    cross = (
+        nb.join(ob.select("band_idx", "band_hash", F.col("doc_id").alias("other_id")),
+                ["band_idx", "band_hash"])
+        .select(F.col("doc_id").alias("new_id"), "other_id",
+                F.lit("old").alias("oside"))
+    )
+    within = (
+        nb.alias("x")
+        .join(nb.alias("y"),
+              (F.col("x.band_idx") == F.col("y.band_idx"))
+              & (F.col("x.band_hash") == F.col("y.band_hash"))
+              & (F.col("y.doc_id") < F.col("x.doc_id")))
+        .select(F.col("x.doc_id").alias("new_id"),
+                F.col("y.doc_id").alias("other_id"),
+                F.lit("new").alias("oside"))
+    )
+    cands = cross.unionByName(within).distinct()
+
+    uni = old.unionByName(new)
+    sh = doc_shingles(uni, n, "text", "doc_id")
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    shp = sh.join(dfreq.filter(F.col("_df") <= df_cap), "shingle", "left_semi")
+    a = shp.select(F.col("doc_id").alias("new_id"), "shingle")
+    b = shp.select(F.col("doc_id").alias("other_id"), "shingle")
+    common = (
+        a.join(cands, "new_id")
+        .join(b, ["other_id", "shingle"])
+        .groupBy("new_id", "other_id", "oside")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("other_id"), F.col("n_sh").alias("n_b"))
+    matches = (
+        common.join(sa, "new_id").join(sb, "other_id")
+        .filter(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= threshold
+        )
+        .groupBy("new_id")
+        .agg(
+            F.sum(F.when(F.col("oside") == "old", 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("oside") == "new", 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    return (
+        new.select("doc_id")
+        .join(matches, new.doc_id == matches.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old_matches"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new_matches"),
+            (
+                (F.coalesce(F.col("n_old"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("n_new"), F.lit(0)) == 0)
+            ).alias("kept"),
+        )
+    )

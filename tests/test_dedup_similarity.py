@@ -1309,3 +1309,36 @@ def test_duplicate_spans_matches_bruteforce_on_random_corpora(spark):
             for r in duplicate_spans(df, k=k, min_count=2).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_incremental_near_dups_constructed(spark):
+    """Pins the cross-snapshot semantics: a new doc matching an OLD
+    doc is dropped with n_old_matches counted; two mutually-near NEW
+    docs keep the smaller id (min-id convention, non-recursive); a
+    fresh doc survives with zeros."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    old = spark.createDataFrame(
+        [(10, body), (20, "completely different ancient corpus entry here okay")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, body + " extra"),                       # near-dups old 10
+            (101, "novel fresh unseen content words entirely"),  # clean
+            (102, "repeated new batch text alpha beta gamma delta epsilon"),
+            (103, "repeated new batch text alpha beta gamma delta zeta"),  # near-dups 102
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_old_matches, r.n_new_matches, r.kept)
+        for r in incremental_near_dups(old, new, n=3, threshold=0.3, bands=32).collect()
+    }
+    assert out[100] == (1, 0, False)
+    assert out[101] == (0, 0, True)
+    assert out[102] == (0, 0, True)      # smaller id: kept
+    assert out[103] == (0, 1, False)     # drops toward the smaller id
