@@ -1041,3 +1041,34 @@ def incremental_near_dups(
             ).alias("kept"),
         )
     )
+
+
+def streaming_cross_snapshot_dedup(
+    records: DataFrame,
+    old_docs: DataFrame,
+    ts: str = "ts",
+    text_col: str = "text",
+    old_text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The streaming half of incremental_near_dups' EXACT tier: an
+    ingest stream is deduplicated (a) against the STATIC prior-corpus
+    sha table via a stream-static LEFT ANTI join — Structured
+    Streaming evaluates the static side per micro-batch with no state
+    at all, the 100-TB-safe way to say "drop anything we already
+    curated" — and then (b) within the stream itself via the bounded
+    watermark-span state of streaming_exact_dedup. In production the
+    static side is the curated corpus's content-hash table (one
+    column, bucketable); here it is derived from `old_docs` to stay
+    self-contained."""
+    old_shas = old_docs.select(
+        F.sha2(F.col(old_text_col), 256).alias("content_sha")
+    ).distinct()
+    out = records.withColumn("content_sha", F.sha2(F.col(text_col), 256)).join(
+        old_shas, "content_sha", "left_anti"
+    )
+    if records.isStreaming:
+        return out.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            ["content_sha"]
+        )
+    return out.dropDuplicates(["content_sha"])

@@ -1142,3 +1142,60 @@ def test_streaming_shard_manifest(spark, tmp_path):
         for r in shard_manifest(spark.createDataFrame(pdf), n_shards=8).collect()
     }
     assert got == want and sum(v[0] for v in got.values()) == 300
+
+
+def test_streaming_cross_snapshot_dedup(spark, tmp_path):
+    """Stream-static anti-join dedup against the prior corpus: rows
+    whose content already exists in the static OLD table never leave
+    the stream (zero state — the static side re-evaluates per
+    micro-batch), and within-stream duplicates still dedupe through
+    the watermark state. Result equals the batch twin on the same
+    rows."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        streaming_cross_snapshot_dedup,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(200)
+    old_pdf = docs.iloc[:80][["doc_id", "text"]]
+    base = pd.Timestamp("2024-01-01")
+    new_rows = pd.concat([
+        docs.iloc[60:120],                   # 60..79 already curated -> dropped
+        docs.iloc[100:110].assign(           # in-stream duplicates -> deduped
+            doc_id=lambda d: d.doc_id + 1_000_000
+        ),
+    ])[["doc_id", "text"]].reset_index(drop=True)
+    new_rows = new_rows.assign(
+        ts=[base + pd.Timedelta(seconds=5 * i) for i in range(len(new_rows))]
+    )
+    new_rows["ts"] = new_rows["ts"].astype("datetime64[us]")
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(new_rows, src, 3)
+
+    old = spark.createDataFrame(old_pdf)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        streaming_cross_snapshot_dedup(stream, old, watermark="10 minutes")
+        .writeStream.format("memory").queryName("xsnap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT content_sha FROM xsnap_stream").collect()
+    shas = [r.content_sha for r in got]
+
+    batch = streaming_cross_snapshot_dedup(spark.createDataFrame(new_rows), old)
+    want = {r.content_sha for r in batch.select("content_sha").collect()}
+
+    assert len(shas) == len(set(shas))
+    assert set(shas) == want
+    # every already-curated text (ids 60..79) was dropped; survivors
+    # are the 40 fresh texts (80..119), each exactly once
+    assert len(shas) == 40
