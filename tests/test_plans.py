@@ -416,3 +416,15 @@ def test_dsir_select_plan_shape(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.MULTILINE)) >= 2
+
+
+def test_incremental_near_dups_plan_shape(spark):
+    """Cross-snapshot dedup must never expand pairs cartesian-wise:
+    candidates come only from band-bucket equi-joins, verification
+    only touches candidate ids, and nothing drops into Python."""
+    df = e.q_incremental_near_dups(spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
