@@ -487,8 +487,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost at sf0.1 — the analyzer disease near_dup_clusters hit at
     run time, here at plan time. Only the two genuinely relational
     stages (decontaminate's gram rollup, line_dedup's df count) keep
-    their joins. One Catalyst plan, ~8 scans, no caching, no
-    checkpoint, hash unchanged."""
+    their joins. One materialization boundary: the decontaminated
+    corpus is eagerly localCheckpoint-ed (consumed 3x downstream, and
+    unlike persist() the blocks are ContextCleaner-freed once the
+    result DataFrame is dropped — a bare persist() here leaked its
+    cache entry into the rest of the 64-query bench session, the r6
+    ADVICE finding). Hash unchanged."""
     from pyspark.sql import Window as W
 
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
@@ -563,11 +567,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id"),
         "doc_id",
         "left_semi",
-    ).persist()  # consumed 3x by line_dedup (lines x2 + base); the
-    # local analogue of the intermediate table a production pipeline
-    # writes between jobs — without it the quality+decontaminate
-    # subtree (scan, gram explode, broadcast probe, rollup) re-runs
-    # three times inside one action
+    ).localCheckpoint(eager=True)
+    # consumed 3x by line_dedup (lines x2 + base); the local analogue
+    # of the intermediate table a production pipeline writes between
+    # jobs — without the boundary the quality+decontaminate subtree
+    # (scan, gram explode, broadcast probe, rollup) re-runs three
+    # times inside one action. localCheckpoint, NOT persist: its
+    # blocks are ContextCleaner-freed when the result handle drops,
+    # where an unpersisted cache entry outlives the query (r6 ADVICE)
     # 3. line-level dedup (df over the surviving corpus)
     ld = dec.select("doc_id", "lang").join(
         line_dedup_text(dec, max_df=3), "doc_id"
@@ -790,17 +797,20 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled (T=0.7) language mixture reweighting
+    """Temperature-scaled (T=0.5) language mixture reweighting
     (mBERT/XLM-R sampling): per-lang token mass -> q ~ p^(1/T) and
     the q/p sampling-rate multiplier; one partial-agg groupBy, then
-    windows over the languages-sized result only
-    (operators/textstats.py::mixture_weights)."""
+    windows over the languages-sized result only. T=0.5 (1/T integer)
+    takes the ENGINE-PORTABLE exact path — q from BIGINT n_tokens^2
+    sums and a single IEEE division, no libm pow on either side, so
+    the 1e-6 floor rounding can never sit on a cross-engine ulp
+    boundary (r6 ADVICE; operators/textstats.py::mixture_weights)."""
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
         mixture_weights,
     )
 
     return mixture_weights(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), temperature=0.7
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), temperature=0.5
     )
 
 
@@ -2881,37 +2891,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER is load-bearing: the driver's CORRECTNESS
+    artifact row-caps at 50 and takes the FIRST 50 entries, so the
+    order is a rotation schedule (r6 VERDICT #1) — never-driver-
+    checked queries first, then queries whose implementation changed
+    since their last green driver row, then recent additions, and the
+    long-stable multi-round-green gates at the tail (their last green
+    rows stand in CORRECTNESS_r04-r06; the builder-side
+    scripts/correctness_sweep.py still covers ALL entries every
+    round, committed as BENCH/correctness_sweep_r{N}.json)."""
     return {
-        "tumbling_window_sum": q_tumbling_window_sum,
-        "sliding_window_sum": q_sliding_window_sum,
-        "offset_baseline": q_offset_baseline,
-        "offset_baseline_old": q_offset_baseline_old,
-        "window_sum_simple": q_window_sum_simple,
-        "summary_report": q_summary_report,
-        "threshold_alerts": q_threshold_alerts,
-        "dimension_breakdown": q_dimension_breakdown,
-        "dimension_breakdown_salted": q_dimension_breakdown_salted,
-        "simple_contributors": q_simple_contributors,
-        "hierarchical_contributors": q_hierarchical_contributors,
-        "hierarchical_contributors_cooc": q_hierarchical_contributors_cooc,
-        "session_windows": q_session_windows,
-        "zscore_alerts": q_zscore_alerts,
-        "zscore_alerts_by_key": q_zscore_alerts_by_key,
-        "macrobase_alerts": q_macrobase_alerts,
-        "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
+        # -- never driver-checked before r7 / changed this round
+        "sequence_packing": q_sequence_packing,
+        "mixture_weights": q_mixture_weights,
+        "curation_pipeline": q_curation_pipeline,
+        "pii_redaction": q_pii_redaction,
         "macrobase_summaries": q_macrobase_summaries,
-        "macrobase_summaries_single": q_macrobase_summaries_single,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
+        "incremental_near_dups": q_incremental_near_dups,
+        # -- absent from the r6 artifact (last green r4/r5)
+        "audio_features": q_audio_features,
+        "media_features": q_media_features,
+        "blocklist_filter": q_blocklist_filter,
+        "value_percentiles": q_value_percentiles,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "embedding_topk_brute": q_embedding_topk_brute,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_near_duplicates": q_embedding_near_duplicates,
+        # -- r5/r6 additions, green once in the driver artifact
         "macrobase_summaries_decayed": q_macrobase_summaries_decayed,
+        "macrobase_summaries_single": q_macrobase_summaries_single,
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
         "macrobase_summaries_pairs": q_macrobase_summaries_pairs,
         "hstrees_alerts": q_hstrees_alerts,
         "hstrees_alerts_by_key": q_hstrees_alerts_by_key,
-        "exact_duplicates": q_exact_duplicates,
+        "near_dup_clusters_star": q_near_dup_clusters_star,
+        "duplicate_spans": q_duplicate_spans,
+        "dsir_select": q_dsir_select,
+        "dataset_card": q_dataset_card,
+        "shard_manifest": q_shard_manifest,
         "ngram_jaccard": q_ngram_jaccard,
         "near_duplicates": q_near_duplicates,
         "near_dup_clusters": q_near_dup_clusters,
-        "near_dup_clusters_star": q_near_dup_clusters_star,
-        "incremental_near_dups": q_incremental_near_dups,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
@@ -2925,27 +2949,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "perplexity_sample": q_perplexity_sample,
         "line_dedup": q_line_dedup,
-        "duplicate_spans": q_duplicate_spans,
-        "dsir_select": q_dsir_select,
-        "dataset_card": q_dataset_card,
-        "shard_manifest": q_shard_manifest,
         "top_words_per_lang": q_top_words_per_lang,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokenize": q_bpe_tokenize,
-        "sequence_packing": q_sequence_packing,
-        "mixture_weights": q_mixture_weights,
-        "blocklist_filter": q_blocklist_filter,
-        "value_percentiles": q_value_percentiles,
-        "curation_pipeline": q_curation_pipeline,
-        "pii_redaction": q_pii_redaction,
-        "language_id": q_language_id,
-        "fingerprints": q_fingerprints,
-        "embedding_topk_brute": q_embedding_topk_brute,
-        "embedding_topk_lsh": q_embedding_topk_lsh,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
-        "embedding_near_duplicates": q_embedding_near_duplicates,
-        "media_features": q_media_features,
-        "audio_features": q_audio_features,
+        # -- tail: green in r4 AND r5 AND r6 driver artifacts; rotate
+        #    out of the 50-row driver window first
+        "exact_duplicates": q_exact_duplicates,
+        "macrobase_alerts": q_macrobase_alerts,
+        "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
+        "zscore_alerts": q_zscore_alerts,
+        "zscore_alerts_by_key": q_zscore_alerts_by_key,
+        "session_windows": q_session_windows,
+        "hierarchical_contributors": q_hierarchical_contributors,
+        "hierarchical_contributors_cooc": q_hierarchical_contributors_cooc,
+        "simple_contributors": q_simple_contributors,
+        "dimension_breakdown": q_dimension_breakdown,
+        "dimension_breakdown_salted": q_dimension_breakdown_salted,
+        "threshold_alerts": q_threshold_alerts,
+        "summary_report": q_summary_report,
+        "window_sum_simple": q_window_sum_simple,
+        "offset_baseline": q_offset_baseline,
+        "offset_baseline_old": q_offset_baseline_old,
+        "sliding_window_sum": q_sliding_window_sum,
+        "tumbling_window_sum": q_tumbling_window_sum,
     }
 
 
@@ -3606,16 +3630,18 @@ WITH k AS (
 ),
 w AS (
   SELECT lang, n_docs, n_tokens,
-    n_tokens * 1.0 / SUM(n_tokens) OVER () AS p
+    CAST(SUM(n_tokens) OVER () AS BIGINT) AS s1,
+    CAST(SUM(n_tokens * n_tokens) OVER () AS BIGINT) AS s2
   FROM k
-),
-v AS (SELECT *, pow(p, 1.0 / 0.7) AS qr FROM w),
-u AS (SELECT *, qr / SUM(qr) OVER () AS q FROM v)
+)
 SELECT lang, n_docs, n_tokens,
-  floor(p * 1e6 + 0.5) / 1e6 AS p_data,
-  floor(q * 1e6 + 0.5) / 1e6 AS p_sample,
-  floor(q / p * 1e6 + 0.5) / 1e6 AS sample_weight
-FROM u
+  floor(CAST(n_tokens AS DOUBLE) / CAST(s1 AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS p_data,
+  floor(CAST(n_tokens * n_tokens AS DOUBLE) / CAST(s2 AS DOUBLE) * 1e6 + 0.5)
+    / 1e6 AS p_sample,
+  floor(CAST(n_tokens * s1 AS DOUBLE) / CAST(s2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS sample_weight
+FROM w
 """
 
 

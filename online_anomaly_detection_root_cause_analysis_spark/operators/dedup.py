@@ -536,7 +536,7 @@ _LSH_OUT_SCHEMA = (
 _LSH_STATE_SCHEMA = "ids array<long>, tss array<long>"
 
 
-def _make_lsh_bucket_fn(ttl_ms: int):
+def _make_lsh_bucket_fn(ttl_ms: int, max_group: int):
     """Stateful per-bucket pairing fn for streaming_minhash_lsh. State
     per (band_idx, band_hash) group: the docs seen in that bucket
     whose event time is within the watermark span. Each arriving doc
@@ -545,11 +545,30 @@ def _make_lsh_bucket_fn(ttl_ms: int):
     update and the whole bucket's state times out (EventTimeTimeout)
     once the watermark passes its newest entry + ttl — the SAME
     bounded-state argument as dropDuplicatesWithinWatermark, at bucket
-    granularity. The per-doc Python here iterates BUCKET members (a
-    handful by the max_group argument), not corpus rows."""
+    granularity.
+
+    Hot-bucket guard (r6 ADVICE): once a bucket holds `max_group`
+    live docs, further arrivals are neither paired nor admitted —
+    a boilerplate-heavy stream would otherwise build O(m) state and
+    emit O(m^2) candidates in one bucket, the exact blow-up
+    minhash_lsh_pairs' cap exists to prevent. (The batch cap DROPS
+    over-cap buckets wholesale; that is unknowable online, so the
+    streaming semantics is first-`max_group`-admitted, and the batch
+    twin in streaming_minhash_lsh applies the same first-K cap so
+    parity holds.) The per-doc Python iterates BUCKET members
+    (<= max_group), not corpus rows.
+
+    Pairs are oriented by (event_ts, doc_id) regardless of ARRIVAL
+    order — an out-of-order arrival that is earlier than a stored doc
+    becomes doc_a, matching the batch twin's ordering contract; the
+    emitted event_ts is the LATER doc's (batch: b.event_ts). A
+    re-delivered doc_id (at-least-once upstream) is skipped entirely:
+    its pairs were emitted at first delivery, so re-emission would
+    break the exactly-once output contract, and it never self-pairs."""
     import pandas as pd
 
     cols = ["doc_a", "doc_b", "band_idx", "band_hash", "event_ts"]
+    ttl_us = ttl_ms * 1000
 
     def fn(key, pdf_iter, state):
         band_idx, band_hash = int(key[0]), int(key[1])
@@ -568,19 +587,34 @@ def _make_lsh_bucket_fn(ttl_ms: int):
         # deterministic processing order inside the micro-batch
         news.sort(key=lambda x: (x[1], x[0]))
         rows = []
+        live = set(ids)
         for did, ts in news:
-            for pid in ids:
-                rows.append((pid, did, band_idx, band_hash, ts))
+            if did in live:
+                continue  # re-delivery: already paired + admitted
+            if len(ids) >= max_group:
+                continue  # hot bucket saturated: no pair, no admit
+            t_us = int(ts.value // 1_000)  # ns -> us (exact roundtrip)
+            for pid, pt_us in zip(ids, tss):
+                if (pt_us, pid) <= (t_us, did):
+                    a, b, e_us = pid, did, t_us
+                else:
+                    a, b, e_us = did, pid, pt_us
+                rows.append(
+                    (a, b, band_idx, band_hash, pd.Timestamp(e_us * 1000))
+                )
             ids.append(did)
-            tss.append(int(ts.value // 1_000_000))  # ns -> ms
-        wm = state.getCurrentWatermarkMs()
-        if wm > 0:
-            keep = [(i, t) for i, t in zip(ids, tss) if t + ttl_ms >= wm]
+            tss.append(t_us)
+            live.add(did)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0:
+            keep = [(i, t) for i, t in zip(ids, tss) if t + ttl_us >= wm_us]
             ids = [i for i, _ in keep]
             tss = [t for _, t in keep]
         if ids:
             state.update((ids, tss))
-            state.setTimeoutTimestamp(max(max(tss) + ttl_ms, wm + 1))
+            state.setTimeoutTimestamp(
+                max((max(tss) + ttl_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
         else:
             state.remove()
         yield pd.DataFrame(rows, columns=cols)
@@ -599,6 +633,7 @@ def streaming_minhash_lsh(
     seed: int = 7,
     watermark: str = "1 hour",
     token_hash: str = "xxhash64",
+    max_group: int = 1000,
 ) -> DataFrame:
     """STREAMING fuzzy dedup — the MinHash-LSH candidate stage running
     inside the ingest stream (r5 VERDICT #3): each document's
@@ -619,13 +654,19 @@ def streaming_minhash_lsh(
     the same two-job split the batch docstrings already prescribe.
 
     State is bounded by (buckets live in one watermark span) x
-    (bucket occupancy), the streaming analogue of minhash_lsh_pairs'
-    max_group cap; a pair whose earlier doc expired re-admits — the
-    documented dropDuplicatesWithinWatermark contract, fuzzy edition.
+    max_group: a bucket admits at most `max_group` live docs (further
+    arrivals are dropped for that band — the hot-bucket guard, see
+    _make_lsh_bucket_fn), so a boilerplate-heavy stream cannot build
+    O(m) state or O(m^2) candidates in one bucket; a pair whose
+    earlier doc expired re-admits — the documented
+    dropDuplicatesWithinWatermark contract, fuzzy edition.
 
     On a BATCH frame (the parity twin) it degenerates to the
-    band-bucket self-join with (earlier ts, then lower id) ordering —
-    tests assert streaming == batch on a planted near-dup stream."""
+    band-bucket self-join with (earlier ts, then lower id) ordering
+    and the SAME first-`max_group`-per-bucket cap (row_number by
+    (event_ts, doc_id)) — tests assert streaming == batch on a
+    planted near-dup stream, including out-of-order chunks and a
+    saturated bucket."""
     import pandas as pd
 
     sig = minhash_signature_expr(F.col(text_col), n, num_hashes, seed, token_hash)
@@ -637,7 +678,21 @@ def streaming_minhash_lsh(
         sig.alias("signature"),
     )
     if not records.isStreaming:
+        from pyspark.sql import Window
+
         banded = banded_signatures(base, num_hashes, bands, extra_cols=("event_ts",))
+        banded = (
+            banded.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("band_idx", "band_hash").orderBy(
+                        "event_ts", "doc_id"
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= max_group)
+            .drop("_rk")
+        )
         a, b = banded.alias("a"), banded.alias("b")
         earlier = (F.col("a.event_ts") < F.col("b.event_ts")) | (
             (F.col("a.event_ts") == F.col("b.event_ts"))
@@ -667,7 +722,7 @@ def streaming_minhash_lsh(
         extra_cols=("event_ts",),
     ).drop("signature")
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        _make_lsh_bucket_fn(ttl_ms),
+        _make_lsh_bucket_fn(ttl_ms, max_group),
         outputStructType=_LSH_OUT_SCHEMA,
         stateStructType=_LSH_STATE_SCHEMA,
         outputMode="append",

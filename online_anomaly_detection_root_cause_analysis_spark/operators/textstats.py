@@ -311,9 +311,15 @@ def _bpe_merge_loop_driver(
         )
         merges.append((rank, l, r, l + r, c))
         old, new = f" {l} {r} ", f" {l}{r} "
+        # Split on ' ' ONLY: symbols may contain '\n'/'\t' (words come
+        # from split-on-single-space), and no-arg str.split() would
+        # silently drop them, diverging from the distributed loop and
+        # the DuckDB oracle from round 2 onward. The padded string
+        # always starts/ends with exactly one space (old and new both
+        # carry their own padding), so [1:-1] strips it exactly.
         seqs = [
             (
-                (" " + " ".join(syms) + " ").replace(old, new).split()
+                (" " + " ".join(syms) + " ").replace(old, new)[1:-1].split(" ")
                 if len(syms) >= 2
                 else syms,
                 w,
@@ -549,6 +555,20 @@ def mixture_weights(
     by key cardinality, never corpus rows). Zero driver traffic.
     Ratios are floor-rounded at 1e-6 in engine and oracle alike.
 
+    ENGINE-PORTABLE exact path (r6 ADVICE): when 1/T is an integer k
+    (T=0.5 -> k=2, an XLM-R-ablation operating point), q_l ~ n_l^k is
+    computed from exact BIGINT numerators and denominators — integer
+    window sums (order-independent) and a SINGLE IEEE division per
+    output — so the pre-rounded doubles are bit-identical across
+    Spark and DuckDB with no libm pow and no float accumulation.
+    (A transcendental pow(p, 1/0.7) is two different libm
+    implementations; a 1-ulp disagreement at the 1e-6 floor boundary
+    flips a hash gate — the same reason BPE/surprisal/DSIR use
+    integer-exact math.) BIGINT bound: n_l^k and n_l*sum(n_l) must
+    fit 2^63 — holds for k=2 up to ~3e9 tokens/lang; beyond that
+    (or non-integer 1/T) the general float-pow path applies, which
+    is for mixing-rate REPORTING, not hash gates.
+
     Returns (lang, n_docs, n_tokens, p_data, p_sample, sample_weight)
     sorted-stable by construction (deterministic per-key floats)."""
     from pyspark.sql import Window
@@ -560,17 +580,30 @@ def mixture_weights(
         .alias("n_tokens"),
     )
     everything = Window.partitionBy()
-    p = F.col("n_tokens") / F.sum("n_tokens").over(everything)
-    q_raw = F.pow(p, 1.0 / temperature)
-    q = q_raw / F.sum(q_raw).over(everything)
+    s1 = F.sum("n_tokens").over(everything)
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    inv = 1.0 / temperature
+    k_exact = int(round(inv))
+    if abs(inv - k_exact) < 1e-9 and k_exact >= 1:
+        num = F.col("n_tokens")
+        for _ in range(k_exact - 1):
+            num = num * F.col("n_tokens")
+        sk = F.sum(num).over(everything)
+        p = F.col("n_tokens").cast("double") / s1.cast("double")
+        q = num.cast("double") / sk.cast("double")
+        wgt = (F.col("n_tokens") * s1).cast("double") / sk.cast("double")
+    else:
+        p = F.col("n_tokens") / s1
+        q_raw = F.pow(p, inv)
+        q = q_raw / F.sum(q_raw).over(everything)
+        wgt = q / p
     return per_key.select(
         "lang",
         "n_docs",
         "n_tokens",
         r6(p).alias("p_data"),
         r6(q).alias("p_sample"),
-        r6(q / p).alias("sample_weight"),
+        r6(wgt).alias("sample_weight"),
     )
 
 

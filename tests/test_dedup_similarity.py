@@ -1030,6 +1030,37 @@ def test_mixture_weights_upweights_low_resource(spark):
     assert abs(sum(r["p_sample"] for r in out.values()) - 1.0) < 1e-5
 
 
+def test_mixture_weights_exact_integer_path(spark):
+    """T=0.5 (1/T = 2, integer) must take the BIGINT-exact path: q ~
+    n_tokens^2 with all three outputs single IEEE divisions of exact
+    integers — checked against closed-form values, the q/p identity,
+    and agreement with the general float-pow path (T=0.5-1e-7 forces
+    it past the integer-detection guard) to within the 1e-6 quantum."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 8 + "w", "en") for i in range(9)]
+        + [(9, "w " * 8 + "w", "xh")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in mixture_weights(docs, temperature=0.5).collect()}
+    # p_en = 81/90 = .9; q_en = 81^2/(81^2+9^2) = 6561/6642
+    q_en = 6561 / 6642
+    assert abs(out["en"]["p_sample"] - round(q_en, 6)) < 1e-9
+    assert abs(out["en"]["sample_weight"] - round(q_en / 0.9, 6)) < 1e-5
+    # sharpening: T<1 upweights the MAJORITY under q ~ p^(1/T)
+    assert out["en"]["p_sample"] > out["en"]["p_data"]
+    flo = {
+        r["lang"]: r
+        for r in mixture_weights(docs, temperature=0.5 - 1e-7).collect()
+    }
+    for lang in out:
+        for c in ("p_data", "p_sample", "sample_weight"):
+            assert abs(out[lang][c] - flo[lang][c]) <= 2e-6, (lang, c)
+
+
 def test_near_dup_clusters_star_parity(spark):
     """Large-star/small-star must agree with min-label propagation on
     every constructed shape — including a 30-edge chain (diameter 31,
@@ -1240,6 +1271,21 @@ def test_bpe_driver_and_distributed_loops_agree(spark):
     slow = [tuple(r) for r in
             bpe_merges(tricky, n_merges=10, max_driver_vocab=0).orderBy("rank").collect()]
     assert fast == slow and len(fast) == 10
+
+    # Words are split on ' ' ONLY, so they can contain '\n'/'\t' as
+    # symbols. A no-arg str.split() in the driver loop would silently
+    # drop them after round 1 (regression guard for the r6 ADVICE
+    # finding); both loops must keep them and stay byte-identical.
+    wsy = spark.createDataFrame(
+        [(1, "ab\ncd ab\ncd ab\ncd ab\tcd ab\tcd plain"),
+         (2, "ab\ncd ab\tcd \n\n x\ny x\ny")],
+        "doc_id long, text string",
+    )
+    fast = [tuple(r) for r in bpe_merges(wsy, n_merges=6).orderBy("rank").collect()]
+    slow = [tuple(r) for r in
+            bpe_merges(wsy, n_merges=6, max_driver_vocab=0).orderBy("rank").collect()]
+    assert fast == slow and len(fast) == 6
+    assert any("\n" in l or "\n" in r for _, l, r, _, _ in fast)
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     fast = [tuple(r) for r in bpe_merges(docs, n_merges=8).orderBy("rank").collect()]

@@ -946,6 +946,92 @@ def test_streaming_minhash_lsh_matches_batch(spark, tmp_path):
     assert all(a < 100000 or b > a for a, b, _, _ in streamed)
 
 
+def test_streaming_minhash_lsh_out_of_order_redelivery_hotbucket(spark, tmp_path):
+    """The three r6-ADVICE edge cases of the streaming LSH stage, on a
+    corpus of identical-text docs (every pair collides in all bands):
+
+    1. OUT-OF-ORDER arrival inside the watermark span — doc 11
+       (ts 10:00) arrives AFTER doc 12 (ts 10:30); the emitted pair
+       must still be oriented (11, 12) by event time, not by arrival.
+    2. RE-DELIVERY — doc 12 arrives twice; no self-pair (a == b) and
+       no duplicate pair rows may be emitted.
+    3. HOT-BUCKET cap — with max_group=3 and 6 colliding docs, only
+       the first 3 admitted per bucket pair up: 3 pairs per band, not
+       C(6,2)=15, and the batch twin with the same cap agrees."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        streaming_minhash_lsh,
+    )
+
+    text = "the same boilerplate sentence repeated on every page here"
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def mk(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts"])
+        pdf["text"] = text
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return pdf[["doc_id", "text", "ts"]]
+
+    # arrival chunks: doc 12 (later ts) first, then doc 11 (earlier
+    # ts, still inside the 4h watermark), then doc 12 re-delivered
+    # alongside docs 13..16 which saturate the cap
+    c1 = mk([(12, t0 + pd.Timedelta("30 min"))])
+    c2 = mk([(11, t0)])
+    c3 = mk(
+        [(12, t0 + pd.Timedelta("30 min"))]
+        + [(13 + k, t0 + pd.Timedelta(f"{40 + k} min")) for k in range(4)]
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, c in enumerate([c1, c2, c3]):
+        _write_chunks(c, src, 1, start_idx=i)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_minhash_lsh(stream, watermark="4 hours", max_group=3)
+        .writeStream.format("memory")
+        .queryName("lsh_edge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(
+        "SELECT doc_a, doc_b, band_idx, band_hash, event_ts FROM lsh_edge"
+    ).collect()
+
+    # no self-pairs, no duplicate emissions
+    assert all(r.doc_a != r.doc_b for r in out)
+    keys = [(r.doc_a, r.doc_b, r.band_idx) for r in out]
+    assert len(keys) == len(set(keys))
+    pair_set = {(r.doc_a, r.doc_b) for r in out}
+    # orientation by event time despite reversed arrival
+    assert (11, 12) in pair_set and (12, 11) not in pair_set
+    # the (11,12) pair's event_ts is the LATER doc's (doc 12, 10:30)
+    ts_11_12 = {r.event_ts for r in out if (r.doc_a, r.doc_b) == (11, 12)}
+    assert ts_11_12 == {t0 + pd.Timedelta("30 min")}
+    # cap: admitted = first 3 by arrival (12, 11, 13); docs 14-16
+    # never pair, so pairs per band = 3
+    assert pair_set == {(11, 12), (11, 13), (12, 13)}
+    # batch twin with the same cap agrees (arrival order == ts order
+    # is not required for the capped SET here because admitted docs
+    # {11,12,13} are also the first 3 by (ts, id))
+    batch_pdf = pd.concat([c1, c2, c3], ignore_index=True).drop_duplicates()
+    batch = {
+        (r.doc_a, r.doc_b, r.band_idx, r.band_hash)
+        for r in streaming_minhash_lsh(
+            spark.createDataFrame(batch_pdf), max_group=3
+        ).collect()
+    }
+    assert batch == {(r.doc_a, r.doc_b, r.band_idx, r.band_hash) for r in out}
+
+
 def test_job_lsh_candidates_query(spark, tmp_path):
     """StreamingJob.start_lsh_candidates_query end-to-end on the raw
     page stream: re-crawled urls (same text, later warc_ts, distinct
