@@ -1597,41 +1597,46 @@ WHERE var_prev > 0
 # --------------------------------------------- macrobase over event windows
 
 def q_macrobase_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MacroBase chain (scorer -> percentile classifier ->
-    emerging-itemsets RCA) over the event stream's window aggregates.
-    Stateful/iterative — no SQL oracle (rows-only check); golden
-    coverage lives in tests/test_macrobase_chain.py."""
-    from online_anomaly_detection_root_cause_analysis_spark.algorithms.ewfeature import (
-        EWFeatureSpec,
-    )
-    from online_anomaly_detection_root_cause_analysis_spark.algorithms.summarizer import (
-        SummarizerSpec,
-    )
-    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
-        long_form_window_aggs,
-    )
-    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
-        TailConfig,
-        make_batch_tail,
-    )
+    """Full MacroBase chain (EWFeature scorer -> percentile classifier
+    -> ExponentiallyDecayingEmergingItemsets) at the COMBINED
+    operating point (r6 VERDICT #2) that exercises every summarizer
+    code path AT ONCE while staying exactly SQL-replayable, closing
+    the registry's last rows-only row:
 
-    records = _events(spark, sf_dir)
-    aggs = long_form_window_aggs(records, events_config(), SIZE_S, SLIDE_S)
-    tail = TailConfig(
-        mode="macrobase",
-        detector_spec=EWFeatureSpec(
-            warmup_count=100, sample_size=1000, decay_period=1000,
-            decay_rate=0.01, training_period=1000, percentile=0.99,
-        ),
-        summarizer_spec=SummarizerSpec(
-            summary_update_period=500, decay_rate=0.01,
-            outlier_item_summary_size=1000, inlier_item_summary_size=1000,
-            min_oi_ratio=1, min_support=0.1,
-            attributes=["event_type", "user_bucket"],
-            attribute_combinations=True, summary_generation_period=5000,
-        ),
+    - UNDER-CAPACITY RESERVOIR detector (sample_size >= stream,
+      detector decay 0): the ADR reservoir is the exact input prefix,
+      no RNG draws (AChao.scala:19-35 insert path), so the MAD scorer
+      + frozen percentile threshold replay bit-exactly;
+    - NONZERO SUMMARIZER DECAY (decay_rate=0.5, period 250): every
+      AMC and FP-tree count is an exact dyadic sum — contribution of
+      tuple t at emission T is 0.5^(T//250 - t//250), replayed with
+      integer shifts (see the decayed block comment);
+    - MULTIATTR TRANSACTIONS + PAIR EMISSION (two attributes,
+      attribute_combinations=True, dominant-value-per-attr input):
+      2-item transactions drive insert_transaction_false_negative,
+      FP-growth pair mining, equal-count subset dedup, and the inlier
+      getCounts lookup — whose per-path int() truncation
+      (StreamingFPTree.scala:98-127 `pathHead.count.toInt`) now BITES
+      under fractional decayed counts and is replayed as floor();
+    - INTERESTING-ITEM REFRESH ON THE PERIOD (not per tuple): a pair
+      is captured at tuple t iff both items' first outlier occurrence
+      precedes the last tree rebuild, fot < 250*(t//250) — tuples
+      before the first refresh (t < 250) capture no pairs, exactly
+      the reference's cold-start behavior.
+
+    The reference's default 20000-sample config keeps the reservoir
+    OVER capacity, where admission draws from the JVM's
+    java.util.Random stream (AChao.scala:19-35) — unreproducible
+    outside the JVM by design (SURVEY.md §7.4.6; proof in
+    COVERAGE.md). This combined point covers every non-RNG code path
+    of the full chain in one configuration with a value-hash gate."""
+    return q_macrobase_summaries_pairs(
+        spark,
+        sf_dir,
+        summary_update_period=_MBS_DECAY_PERIOD - 1,
+        decay_rate=0.5,
+        round_records=True,
     )
-    return make_batch_tail(aggs, tail)
 
 # MacroBase detector at the decay-free operating point (VERDICT r2 #1):
 # with sample_size >= stream length and decay_rate 0 the ADR reservoir
@@ -2412,7 +2417,13 @@ def q_macrobase_summaries_multiattr(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def q_macrobase_summaries_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_macrobase_summaries_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    summary_update_period: int = 0,
+    decay_rate: float = 0.0,
+    round_records: bool = False,
+) -> DataFrame:
     """Third summarizer gate (r5): the FP-growth PAIR-EMISSION branch —
     the last previously-ungated code path of
     ExponentiallyDecayingEmergingItemsets.scala:330-383 (multi-item
@@ -2512,8 +2523,8 @@ def q_macrobase_summaries_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             percentile=_MBS_PERCENTILE,
         ),
         summarizer_spec=SummarizerSpec(
-            summary_update_period=0,         # interesting refreshed per tuple
-            decay_rate=0.0,
+            summary_update_period=summary_update_period,  # 0 -> per-tuple
+            decay_rate=decay_rate,
             outlier_item_summary_size=1000,  # >= distinct (attr, value) items
             inlier_item_summary_size=1000,
             min_oi_ratio=0.0,
@@ -2524,13 +2535,18 @@ def q_macrobase_summaries_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = make_batch_tail(dominant, tail)
+    num_records = (
+        _r4("num_records").alias("num_records")
+        if round_records  # decayed counts are fractional dyadics
+        else F.col("num_records")
+    )
     return out.filter(F.col("row_type") == "rca").select(
         "seq",
         "window_start_epoch",
         "dim_name",
         "dim_value",
         _r4("support").alias("support"),
-        "num_records",
+        num_records,
         _r4("ratio_to_inliers").alias("ratio_to_inliers"),
         F.col("n_dims").cast("long").alias("n_dims"),
     )
@@ -2690,6 +2706,7 @@ def _macrobase_summaries_pairs_oracle_sql(
     warmup: int = _MB_WARMUP,
     percentile: float = _MBS_PERCENTILE,
     gen_period: int = _MBS_GEN_PERIOD,
+    decay_period: int | None = None,
 ) -> str:
     """DuckDB replay of q_macrobase_summaries_pairs. Same detector
     prelude as the other MacroBase gates; then
@@ -2708,10 +2725,50 @@ def _macrobase_summaries_pairs_oracle_sql(
       pairs use ratio >= min_ratio (the `>=` at :234 of summarizer.py /
       :365 of the reference), singles keep the strict `>`;
     - the pair row is exploded to its two (dim_name, dim_value)
-      members, n_dims=2, same (support, num_records, ratio) on both."""
+      members, n_dims=2, same (support, num_records, ratio) on both.
+
+    With `decay_period` P set (decay_rate 0.5 — the COMBINED
+    macrobase_summaries gate) three things change, each mirroring the
+    engine exactly:
+    - every capture weight becomes the exact dyadic 0.5^(T//P - t//P)
+      built with integer shifts (no libm pow), in the single-item AMC
+      sums, the pair-tree sums, and the totals;
+    - the interesting-items map is rebuilt only at refresh tuples
+      (u % P == 0, before u marks), so pair capture at tuple t
+      requires fot < P*(t//P) instead of fot < t — and NO pairs are
+      captured before the first refresh (t < P), the reference's
+      cold-start behavior;
+    - the INLIER pair count is floor()-truncated: the engine reads it
+      via StreamingFPTree.get_support, whose per-path
+      `pathHead.count.toInt` (Scala :98-127) truncates the now-
+      fractional decayed path count; with 2-item stratified
+      transactions each pair is exactly one tree path, so the
+      truncation is floor of the dyadic sum. Outlier pair counts come
+      from mine_itemsets' node counts — NOT truncated.
+    Exactness bound (same as the decayed gate): T_max//P + log2(#obs)
+    <= 53 keeps every partial sum representable and order-free —
+    holds at the sf0.001/0.01 gate scales; at sf0.1+ the engine still
+    runs, but the cross-engine bit-match claim is scoped to the gate
+    scales (documented in the decayed block comment)."""
     w1 = warmup - 1
     thr_idx1 = int(percentile * w1) + 1
     period = gen_period + 1
+    if decay_period is None:
+        w_cnt = "1"          # weight of one capture in the AMC sums
+        w_pair = "1"         # weight of one capture in the tree sums
+        fo1 = "f1.fot < pw.t"
+        fo2 = "f2.fot < pw.t"
+        ic_pair = "p.ic"
+        num_records_expr = "oc"
+    else:
+        shift_cnt = f"(em.T // {decay_period} - o.t // {decay_period})"
+        shift_pair = f"(em.T // {decay_period} - c.t // {decay_period})"
+        w_cnt = f"1.0 / CAST(1::BIGINT << {shift_cnt} AS DOUBLE)"
+        w_pair = f"1.0 / CAST(1::BIGINT << {shift_pair} AS DOUBLE)"
+        fo1 = f"f1.fot < {decay_period} * (pw.t // {decay_period})"
+        fo2 = f"f2.fot < {decay_period} * (pw.t // {decay_period})"
+        ic_pair = "floor(p.ic)"
+        num_records_expr = "floor(oc*10000 + 0.5)/10000"
     med = (
         "CASE WHEN {n} % 2 = 0 THEN ({L}[{n}//2] + {L}[{n}//2 + 1])/2.0 "
         "ELSE {L}[{n}//2 + 1] END"
@@ -2799,8 +2856,8 @@ obs AS (
 emits AS (SELECT idx AS T, ws FROM ti WHERE idx % {period} = 0),
 cnt AS (
   SELECT em.T, em.ws, o.dname, o.val,
-         CAST(sum(CASE WHEN f.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
-         CAST(sum(CASE WHEN f.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
+         CAST(sum(CASE WHEN f.flag THEN {w_cnt} ELSE 0 END) AS DOUBLE) AS oc,
+         CAST(sum(CASE WHEN f.flag THEN 0 ELSE {w_cnt} END) AS DOUBLE) AS ic
   FROM emits em
   JOIN obs o ON o.t < em.T
   JOIN flags f ON f.t = o.t
@@ -2834,23 +2891,23 @@ cap AS (
   SELECT pw.t, pw.v1, pw.v2, f.flag
   FROM pw
   JOIN flags f ON f.t = pw.t
-  JOIN fo f1 ON f1.dname = 'event_type' AND f1.val = pw.v1 AND f1.fot < pw.t
-  JOIN fo f2 ON f2.dname = 'user_parity' AND f2.val = pw.v2 AND f2.fot < pw.t
+  JOIN fo f1 ON f1.dname = 'event_type' AND f1.val = pw.v1 AND {fo1}
+  JOIN fo f2 ON f2.dname = 'user_parity' AND f2.val = pw.v2 AND {fo2}
 ),
 pcnt AS (
   SELECT em.T, em.ws, c.v1, c.v2,
-         CAST(sum(CASE WHEN c.flag THEN 1 ELSE 0 END) AS DOUBLE) AS oc,
-         CAST(sum(CASE WHEN c.flag THEN 0 ELSE 1 END) AS DOUBLE) AS ic
+         CAST(sum(CASE WHEN c.flag THEN {w_pair} ELSE 0 END) AS DOUBLE) AS oc,
+         CAST(sum(CASE WHEN c.flag THEN 0 ELSE {w_pair} END) AS DOUBLE) AS ic
   FROM emits em JOIN cap c ON c.t < em.T
   GROUP BY 1, 2, 3, 4
-  HAVING sum(CASE WHEN c.flag THEN 1 ELSE 0 END) > 0
+  HAVING sum(CASE WHEN c.flag THEN {w_pair} ELSE 0 END) > 0
 ),
 prr AS (
-  SELECT p.T, p.ws, p.v1, p.v2, p.oc, p.ic, t.tout, t.tin,
-         p.ic + p.oc AS te,
-         t.tin + t.tout - (p.ic + p.oc) AS tme,
+  SELECT p.T, p.ws, p.v1, p.v2, p.oc, {ic_pair} AS ic, t.tout, t.tin,
+         {ic_pair} + p.oc AS te,
+         t.tin + t.tout - ({ic_pair} + p.oc) AS tme,
          t.tout - p.oc AS uo,
-         t.tin - p.ic AS ui
+         t.tin - {ic_pair} AS ui
   FROM pcnt p JOIN tots t ON t.T = p.T
 ),
 pscored AS (
@@ -2867,7 +2924,7 @@ pout AS (
 SELECT T AS seq, ws AS window_start_epoch,
        dname AS dim_name, val AS dim_value,
        floor(oc/tout*10000 + 0.5)/10000 AS support,
-       oc AS num_records,
+       {num_records_expr} AS num_records,
        CASE WHEN isinf(cr) THEN NULL
             ELSE floor(cr*10000 + 0.5)/10000 END AS ratio_to_inliers,
        CAST(2 AS BIGINT) AS n_dims
@@ -2876,7 +2933,7 @@ UNION ALL
 SELECT T AS seq, ws AS window_start_epoch,
        dname AS dim_name, val AS dim_value,
        floor(oc/tout*10000 + 0.5)/10000 AS support,
-       oc AS num_records,
+       {num_records_expr} AS num_records,
        CASE WHEN isinf(cr) THEN NULL
             ELSE floor(cr*10000 + 0.5)/10000 END AS ratio_to_inliers,
        CAST(1 AS BIGINT) AS n_dims
@@ -4604,6 +4661,10 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
-        # macrobase_summaries (stateful/iterative) -> rows-only check;
-        # golden-value coverage lives in tests/test_macrobase_chain.py
+        # the COMBINED full-chain gate (r6 VERDICT #2): pairs oracle
+        # with dyadic decay weights, refresh-point interesting-item
+        # predicate, and floor-truncated inlier pair counts
+        "macrobase_summaries": _macrobase_summaries_pairs_oracle_sql(
+            decay_period=_MBS_DECAY_PERIOD
+        ),
     }

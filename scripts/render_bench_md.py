@@ -429,11 +429,14 @@ reference keyBy(0) semantics.
 
 {body}
 
-The rows-only entry is `macrobase_summaries` (`no_oracle`: the
-stateful MacroBase FP-growth summarizer, golden- and
-replay-parity-gated instead — its detector half is hash-gated via
-`macrobase_alerts`). tests/test_oracle_parity.py mirrors the gate at
-sf0.001; the driver runs it at sf0.01.
+Since round 7 every registry entry carries a DuckDB value-hash
+oracle — `macrobase_summaries` (rows-only through r6) now runs at
+the COMBINED operating point (under-capacity reservoir + dyadic
+decay + multiattr pair mining with floor-truncated inlier lookups)
+and is hash-gated; the reference's default over-capacity-reservoir
+config draws from the JVM RNG and is golden/replay-parity-gated in
+tests instead (proof in COVERAGE.md). tests/test_oracle_parity.py
+mirrors the gate at sf0.001; the driver runs it at sf0.01.
 """
         )
 
