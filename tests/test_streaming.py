@@ -1230,6 +1230,193 @@ def test_streaming_shard_manifest(spark, tmp_path):
     assert got == want and sum(v[0] for v in got.values()) == 300
 
 
+def test_streaming_incremental_lsh_matches_batch_and_incremental(spark, tmp_path):
+    """Streaming fuzzy cross-snapshot tier (r6 VERDICT #5): planted
+    near-dups of the CURATED corpus are caught in-stream via the
+    stream-static band-bucket probe (side='old', zero state), planted
+    in-stream near-dups via the LSH state (side='new'); the whole
+    candidate table equals the batch twin; and every doc
+    incremental_near_dups verifies as an exact-copy old-match on the
+    SAME corpus appears among the streaming candidates."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        banded_signature_table,
+        incremental_near_dups,
+        streaming_incremental_lsh,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(80)[
+        ["doc_id", "text"]
+    ].reset_index(drop=True)
+    old_pdf = docs.iloc[:40]
+    fresh = docs.iloc[40:].copy()
+    fresh["doc_id"] = fresh["doc_id"] + 100000
+    xcopy = old_pdf[old_pdf.doc_id % 4 == 0].copy()      # exact old copies
+    xcopy["doc_id"] = xcopy["doc_id"] + 200000
+    xnear = old_pdf[old_pdf.doc_id % 4 == 1].copy()      # near old copies
+    xnear["doc_id"] = xnear["doc_id"] + 300000
+    xnear["text"] = xnear["text"] + " appendedword"
+    innear = fresh.head(8).copy()                        # in-stream near-dups
+    innear["doc_id"] = innear["doc_id"] + 400000
+    innear["text"] = innear["text"] + " tailword"
+    new_pdf = pd.concat([fresh, xcopy, xnear, innear], ignore_index=True)
+    t0 = pd.Timestamp("2024-01-01")
+    new_pdf["ts"] = (t0 + pd.to_timedelta(new_pdf.index * 30, unit="s")).astype(
+        "datetime64[us]"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(new_pdf, src, 3)
+
+    old = spark.createDataFrame(old_pdf)
+    old_banded_dir = str(tmp_path / "old_banded")
+    banded_signature_table(old, bands=16).write.parquet(old_banded_dir)
+    old_banded = spark.read.parquet(old_banded_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_incremental_lsh(stream, old_banded, watermark="4 hours")
+        .writeStream.format("memory")
+        .queryName("inc_lsh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.doc_a, r.doc_b, r.band_idx, r.side)
+        for r in spark.sql(
+            "SELECT doc_a, doc_b, band_idx, side FROM inc_lsh_stream"
+        ).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.band_idx, r.side)
+        for r in streaming_incremental_lsh(
+            spark.createDataFrame(new_pdf), old_banded, watermark="4 hours"
+        ).collect()
+    }
+    assert streamed == batch
+
+    old_pairs = {(a, b) for a, b, _, s in streamed if s == "old"}
+    new_pairs = {(a, b) for a, b, _, s in streamed if s == "new"}
+    # every planted exact old-copy collides with its original
+    for d in xcopy.doc_id:
+        assert (int(d) - 200000, int(d)) in old_pairs
+    # most near old-copies collide in at least one band
+    hits = sum(1 for d in xnear.doc_id if (int(d) - 300000, int(d)) in old_pairs)
+    assert hits >= len(xnear) * 0.8
+    # in-stream near-dups pair through the stateful tier
+    in_hits = sum(
+        1 for d in innear.doc_id if (int(d) - 400000, int(d)) in new_pairs
+    )
+    assert in_hits >= len(innear) * 0.8
+
+    # parity with the BATCH incremental operator on the same corpus:
+    # every exact-copy doc it verifies as an old-match appears among
+    # the streaming candidates
+    inc = {
+        r.doc_id: r.n_old_matches
+        for r in incremental_near_dups(
+            old, spark.createDataFrame(new_pdf[["doc_id", "text"]]), bands=16
+        ).collect()
+    }
+    for d in xcopy.doc_id:
+        assert inc[int(d)] >= 1
+        assert any(b == int(d) for _, b in old_pairs)
+
+
+def test_streaming_incremental_lsh_checkpoint_resume(spark, tmp_path):
+    """Kill/resume for the fuzzy cross-snapshot tier: both the
+    stream-static probe (stateless) and the in-stream bucket state
+    ride the checkpoint; the resumed candidate table equals one
+    uninterrupted run, with no duplicates."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        banded_signature_table,
+        streaming_incremental_lsh,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet").head(60)[
+        ["doc_id", "text"]
+    ].reset_index(drop=True)
+    old_pdf = docs.iloc[:30]
+    new_pdf = docs.iloc[30:].copy()
+    new_pdf["doc_id"] = new_pdf["doc_id"] + 100000
+    # copies of OLD docs land in the SECOND half of the stream (after
+    # the restart), plus an in-stream mirror whose original is in the
+    # first half
+    late = old_pdf.head(10).copy()
+    late["doc_id"] = late["doc_id"] + 200000
+    mirror = new_pdf.head(5).copy()
+    mirror["doc_id"] = mirror["doc_id"] + 300000
+    pdf = pd.concat([new_pdf, late, mirror], ignore_index=True)
+    t0 = pd.Timestamp("2024-01-01")
+    pdf["ts"] = (t0 + pd.to_timedelta(pdf.index * 30, unit="s")).astype(
+        "datetime64[us]"
+    )
+
+    old_banded_dir = str(tmp_path / "old_banded")
+    banded_signature_table(spark.createDataFrame(old_pdf), bands=16).write.parquet(
+        old_banded_dir
+    )
+
+    def run(src_dir, out_dir, ckpt_dir):
+        old_banded = spark.read.parquet(old_banded_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            streaming_incremental_lsh(stream, old_banded, watermark="4 hours")
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt_dir))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    inc = tmp_path / "inc_src"
+    inc.mkdir()
+    half = len(pdf) // 2
+    _write_chunks(pdf.iloc[:half], inc, 2, start_idx=0)
+    run(inc, tmp_path / "inc_out", tmp_path / "inc_ckpt")
+    _write_chunks(pdf.iloc[half:], inc, 2, start_idx=2)
+    run(inc, tmp_path / "inc_out", tmp_path / "inc_ckpt")
+
+    alldir = tmp_path / "all_src"
+    alldir.mkdir()
+    _write_chunks(pdf, alldir, 4)
+    run(alldir, tmp_path / "gold_out", tmp_path / "gold_ckpt")
+
+    got = [
+        (r.doc_a, r.doc_b, r.band_idx, r.side)
+        for r in spark.read.parquet(str(tmp_path / "inc_out")).collect()
+    ]
+    want = {
+        (r.doc_a, r.doc_b, r.band_idx, r.side)
+        for r in spark.read.parquet(str(tmp_path / "gold_out")).collect()
+    }
+    assert len(got) == len(set(got))
+    assert set(got) == want
+    # the post-restart old-copies still probed the static table, and
+    # the post-restart mirror still paired with its pre-restart
+    # original through the resumed bucket state
+    assert any(s == "old" and 200000 <= b < 400000 for _, b, _, s in got)
+    assert any(
+        s == "new" and b >= 400000 and a == b - 300000 for a, b, _, s in got
+    )
+
+
 def test_streaming_cross_snapshot_dedup(spark, tmp_path):
     """Stream-static anti-join dedup against the prior corpus: rows
     whose content already exists in the static OLD table never leave
