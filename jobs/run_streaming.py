@@ -189,6 +189,14 @@ def main() -> None:
         help="event-time span fuzzy-dedup candidate state lives for",
     )
     ap.add_argument(
+        "--fuzzy-old-banded", default=None,
+        help="path to the curated corpus's banded-signature table "
+        "(banded_signature_table output): the candidates query also "
+        "probes it per micro-batch (stream-static band join, zero "
+        "state) and emits cross-snapshot candidates with side='old' "
+        "— the streaming fuzzy tier of the monthly-refresh pattern",
+    )
+    ap.add_argument(
         "--hierarchy-from-data", action="store_true",
         help="resolve hierarchical-RCA parent values from per-window "
         "co-occurrence (parent = independent record field) instead of "
@@ -209,6 +217,7 @@ def main() -> None:
         pre_filter=args.pre_filter,
         fuzzy_dedup_col=args.fuzzy_dedup_col,
         fuzzy_watermark=args.fuzzy_watermark,
+        fuzzy_old_banded_path=args.fuzzy_old_banded,
     )
     pages = read_pages_stream(spark, args.input, args.max_files_per_trigger)
     if args.decontaminate_against:

@@ -749,7 +749,9 @@ def streaming_incremental_lsh(
     against the CURATED CORPUS via a stream-static band-bucket probe —
     the stream's expression-only MinHash signature explodes to its LSH
     bands and equi-joins the previous run's persisted
-    `banded_signature_table` (`old_banded`), evaluated per micro-batch
+    `banded_signature_table` (`old_banded`) — which MUST have been
+    built with the same (n, num_hashes, bands, seed, token_hash), or
+    band keys silently never match — evaluated per micro-batch
     with ZERO state (the same argument as the sha tier in
     streaming_cross_snapshot_dedup: the static side is a bucketable
     table, never state) — and (b) within the stream itself via the

@@ -190,6 +190,13 @@ class StreamingJob:
     # event-time column of the frame passed to the candidates query
     # (the raw page stream uses warc_ts; built records use ts)
     fuzzy_ts_col: str = "warc_ts"
+    # path to the curated corpus's persisted banded-signature table
+    # (operators/dedup.py::banded_signature_table). When set, the
+    # candidates query also probes it per micro-batch (stream-static
+    # equi-join on band keys, zero state) and emits cross-snapshot
+    # candidates with side='old' — the streaming fuzzy tier of the
+    # incremental_near_dups monthly-refresh pattern
+    fuzzy_old_banded_path: str | None = None
 
     @property
     def aggs_dir(self) -> str:
@@ -265,13 +272,26 @@ class StreamingJob:
             F.col(self.fuzzy_ts_col).alias("_fuzzy_ts"),
             F.col(self.fuzzy_dedup_col),
         )
-        cands = streaming_minhash_lsh(
-            src,
-            ts="_fuzzy_ts",
-            text_col=self.fuzzy_dedup_col,
-            id_col="_fuzzy_id",
-            watermark=self.fuzzy_watermark,
-        )
+        if self.fuzzy_old_banded_path is not None:
+            from ..operators.dedup import streaming_incremental_lsh
+
+            old_banded = src.sparkSession.read.parquet(self.fuzzy_old_banded_path)
+            cands = streaming_incremental_lsh(
+                src,
+                old_banded,
+                ts="_fuzzy_ts",
+                text_col=self.fuzzy_dedup_col,
+                id_col="_fuzzy_id",
+                watermark=self.fuzzy_watermark,
+            )
+        else:
+            cands = streaming_minhash_lsh(
+                src,
+                ts="_fuzzy_ts",
+                text_col=self.fuzzy_dedup_col,
+                id_col="_fuzzy_id",
+                watermark=self.fuzzy_watermark,
+            )
         cands_dir = self.candidates_dir
         os.makedirs(cands_dir, exist_ok=True)
 

@@ -1032,6 +1032,90 @@ def test_streaming_minhash_lsh_out_of_order_redelivery_hotbucket(spark, tmp_path
     assert batch == {(r.doc_a, r.doc_b, r.band_idx, r.band_hash) for r in out}
 
 
+def test_job_lsh_candidates_query_with_old_banded(spark, tmp_path):
+    """StreamingJob candidates query with fuzzy_old_banded_path (the
+    CLI --fuzzy-old-banded path): pages whose text already exists in
+    the curated corpus emit side='old' cross-snapshot candidates via
+    the stream-static band probe, in-stream mirrors still emit
+    side='new' through the bucket state."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        banded_signature_table,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.sources.pages import (
+        PagesSpec,
+        generate_pages,
+        read_pages_stream,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.job import (
+        StreamingJob,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.streaming.state import (
+        TailConfig,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = generate_pages(PagesSpec(n_pages=150)).sort_values("warc_ts")
+    # the curated corpus holds the first 30 pages' text, keyed like
+    # the stream (xxhash64 of url)
+    curated = pdf.head(30).copy()
+    old_docs = spark.createDataFrame(curated[["url", "text"]]).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    old_dir = str(tmp_path / "old_banded")
+    # banded with the SAME (n, num_hashes, bands, seed) the stream
+    # probe uses — mismatched banding params yield silent zero-match
+    banded_signature_table(old_docs, bands=16).write.parquet(old_dir)
+    # stream = fresh pages + RE-CRAWLS of curated pages (new url,
+    # same text) + an in-stream mirror pair
+    recrawls = curated.copy()
+    recrawls["url"] = recrawls["url"] + "?recrawl=1"
+    recrawls["warc_ts"] = pdf["warc_ts"].max() + pd.to_timedelta(
+        range(1, len(recrawls) + 1), unit="min"
+    )
+    stream_pdf = (
+        pd.concat([pdf.iloc[30:], recrawls])
+        .sort_values("warc_ts")
+        .reset_index(drop=True)
+    )
+    stream_pdf["warc_ts"] = stream_pdf["warc_ts"].astype("datetime64[us]")
+    src = tmp_path / "pages"
+    src.mkdir()
+    _write_chunks(stream_pdf, src, 3)
+
+    job = StreamingJob(
+        work_dir=str(tmp_path / "job"),
+        cfg=None,
+        tail=TailConfig(mode="zscore"),
+        fuzzy_dedup_col="text",
+        fuzzy_watermark="2 hours",
+        fuzzy_old_banded_path=old_dir,
+    )
+    q = job.start_lsh_candidates_query(read_pages_stream(spark, str(src)))
+    q.processAllAvailable()
+    q.stop()
+
+    cands = spark.read.parquet(job.candidates_dir)
+    old_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in cands.filter(F.col("side") == "old").collect()
+    }
+    key = {
+        r.url: r.k
+        for r in spark.createDataFrame(
+            pd.concat([curated, recrawls])[["url"]]
+        ).select("url", F.xxhash64("url").alias("k")).collect()
+    }
+    hits = sum(
+        1
+        for u in recrawls["url"]
+        if (key[u.replace("?recrawl=1", "")], key[u]) in old_pairs
+    )
+    # exact text copies collide with their curated originals
+    assert hits == len(recrawls)
+
+
 def test_job_lsh_candidates_query(spark, tmp_path):
     """StreamingJob.start_lsh_candidates_query end-to-end on the raw
     page stream: re-crawled urls (same text, later warc_ts, distinct
