@@ -475,6 +475,29 @@ def near_duplicates(
     cands = minhash_lsh_pairs(
         docs, n, num_hashes, bands, text_col, id_col, seed, max_group, token_hash
     ).select("doc_a", "doc_b")
+    return verify_candidate_pairs(
+        docs, cands, n, threshold, text_col, id_col, df_cap
+    )
+
+
+def verify_candidate_pairs(
+    docs: DataFrame,
+    cands: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 10_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of a CANDIDATE pair table
+    (doc_a, doc_b) — the verify stage of `near_duplicates`, public so
+    the offline job of the two-job streaming topology can consume a
+    MATERIALIZED candidate table (the streaming LSH query's
+    near_dup_candidates output, or incremental probes) instead of
+    regenerating candidates in-query. Same df_cap hot-shingle pruning
+    and no-broadcast-hint contract as near_duplicates (see its
+    docstring for the measured rationale)."""
+    cands = cands.select("doc_a", "doc_b")
     sh = doc_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
