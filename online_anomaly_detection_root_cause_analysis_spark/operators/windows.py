@@ -115,7 +115,15 @@ def dimension_breakdown(
 
     salt_buckets > 0 enables two-level aggregation for skewed dimension
     values: first groupBy(window, dim, salt) partial sums, then the
-    final rollup — bounds any single reducer's key volume.
+    final rollup — bounds any single reducer's key volume. The salt
+    must VARY WITHIN a hot key to split it (r7 fix: it derives from
+    the row's value; the r5-r6 version hashed dim_value, which is
+    constant per key — a no-op rediscovered by the r6 VERDICT's skew
+    ask). The salt is summed out, so results are identical either
+    way; see BENCH/skew_salted.json for the measured verdict on when
+    this plan shape actually pays (spoiler: hash-aggregation sums are
+    already skew-absorbed by map-side partial aggregation — salting
+    exists for agg shapes without a combiner).
     """
     dims = cfg.dimension_names
     n = len(dims)
@@ -139,7 +147,7 @@ def dimension_breakdown(
             "w",
             "dim_name",
             "dim_value",
-            (F.abs(F.hash("dim_value")) % salt_buckets).alias("_salt"),
+            (F.abs(F.hash("_value", "dim_name")) % salt_buckets).alias("_salt"),
         ).agg(F.sum("_value").alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
         grouped = partial.groupBy("w", "dim_name", "dim_value").agg(
             F.sum("_psum").alias("dim_sum"), F.sum("_pcnt").alias("dim_count")
