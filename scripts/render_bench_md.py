@@ -307,6 +307,32 @@ throughput pays the per-trigger fixed overhead
 | 1 (latency mode) | {mft1['windows_per_sec']:.0f} | {mft1['p95_trigger_ms']/1000:.1f} s | {mft1['p95_commit_latency_sec']:.1f} s |
 """
             )
+    skew = _load(os.path.join(REPO, "BENCH", "skew_salted.json"))
+    if skew:
+        fx = skew["fixture"]
+        parts.append(
+            f"""### Skew: salted vs unsalted aggregation on a genuinely hot key (VERDICT r6 #6)
+
+`scripts/skew_bench.py` on a fixture where ONE dimension value holds
+{fx['hot_share']:.0%} of {fx['rows']:,} rows ({skew['protocol']}):
+unsalted median **{skew['unsalted_median_s']:.2f} s**, salted
+(salt_buckets=8) **{skew['salted_median_s']:.2f} s** — the salted
+plan LOSES. {skew['finding']}
+"""
+        )
+    inc = _load(os.path.join(REPO, "BENCH", "incremental_old_banded.json"))
+    if inc:
+        parts.append(
+            f"""### Incremental dedup: precomputed old-side banded signatures (VERDICT r6 #4)
+
+`scripts/incremental_old_banded_bench.py` ({inc['protocol']},
+{inc['old_rows']:,} old / {inc['new_rows']:,} new docs): recompute
+mode median **{inc['recompute_median_s']:.2f} s** vs consuming the
+previous run's `banded_signature_table` **{inc['precomputed_median_s']:.2f} s**
+(results identical: {inc['results_identical']}). {inc['note']}
+"""
+        )
+    if scaling:
         parts.append(
             f"""
 ## Scaling efficiency (N -> 4N target >= 0.8): what the sandbox can and cannot show
