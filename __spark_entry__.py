@@ -796,6 +796,21 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (CCNet/LLaMA
+    model-based gate): per-word integer weights via the hashing trick
+    (sha60 mod 2001 - 1000), doc logit_sum = exact BIGINT sum, keep =
+    logit_sum >= 0 — integer-exact end to end, no transcendentals
+    (operators/textstats.py::linear_quality_score)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        linear_quality_score,
+    )
+
+    return linear_quality_score(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (T=0.5) language mixture reweighting
     (mBERT/XLM-R sampling): per-lang token mass -> q ~ p^(1/T) and
@@ -2967,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
         "incremental_near_dups": q_incremental_near_dups,
+        "linear_quality": q_linear_quality,
         # -- absent from the r6 artifact (last green r4/r5)
         "audio_features": q_audio_features,
         "media_features": q_media_features,
@@ -4661,6 +4677,25 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
+        "linear_quality": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+ww AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256(word), 1, 15) AS BIGINT) % 2001 - 1000 AS w
+  FROM words
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(w) AS BIGINT) AS logit_sum
+  FROM ww GROUP BY doc_id
+)
+SELECT doc_id, n_words, logit_sum,
+       CAST(logit_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS logit,
+       logit_sum >= 0 AS keep
+FROM agg
+""",
         # the COMBINED full-chain gate (r6 VERDICT #2): pairs oracle
         # with dyadic decay weights, refresh-point interesting-item
         # predicate, and floor-truncated inlier pair counts

@@ -1361,6 +1361,68 @@ def duplicate_spans(
     )
 
 
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    vocab_mod: int = 2001,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style LINEAR quality classifier scoring — the
+    model-based quality gate of CCNet/LLaMA-style pipelines (a linear
+    text classifier over hashed bag-of-words features, Joulin et al.
+    2017), complementing the rule-based `gopher_quality_filter`.
+
+    Deployment shape: per-word integer weights come either from a
+    broadcast weight TABLE (`weights`: word, weight — how a trained
+    model ships) or, when omitted, from the hashing trick directly
+    (Weinberger et al. 2009): weight(word) = (sha60(word) mod
+    `vocab_mod`) - vocab_mod//2, a deterministic surrogate standing in
+    for trained values with the same plan shape and value
+    distribution. Either way the doc score is
+    logit_sum = SUM(weight) — an exact BIGINT sum (order-free, no
+    float accumulation) — and logit = logit_sum / n_words, a single
+    IEEE division of exact integers, so the result is bit-identical
+    across engines with no transcendentals (the sigmoid is monotone,
+    so keep = logit_sum >= 0 is an INTEGER comparison — the
+    classification decision never touches floats at all).
+
+    Scale shape: explode -> per-doc integer agg (one shuffle with
+    map-side partials); the optional weight join broadcasts (trained
+    vocabularies are ~1e6 rows). Returns
+    (doc_id, n_words, logit_sum, logit, keep)."""
+    from ..functions.text import sha60_col
+
+    half = vocab_mod // 2
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    if weights is not None:
+        ww = words.join(
+            F.broadcast(weights.select("word", F.col("weight").cast("long"))),
+            "word",
+            "left",
+        ).select("doc_id", F.coalesce(F.col("weight"), F.lit(0)).alias("w"))
+    else:
+        ww = words.select(
+            "doc_id", (F.pmod(sha60_col(F.col("word")), F.lit(vocab_mod)) - half).alias("w")
+        )
+    agg = ww.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("w").cast("long").alias("logit_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "logit_sum",
+        (F.col("logit_sum").cast("double") / F.col("n_words").cast("double")).alias(
+            "logit"
+        ),
+        (F.col("logit_sum") >= 0).alias("keep"),
+    )
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,

@@ -1005,6 +1005,39 @@ def test_sequence_packing_fixture_stream_is_gapless(spark):
     assert rows[-1]["last_chunk"] == (pos - 1) // 64
 
 
+def test_linear_quality_score_weight_table_and_hash(spark):
+    """The broadcast weight-table branch scores exactly SUM(weight)
+    (unknown words weight 0), keep flips on the integer sign, and the
+    hashing-trick branch is deterministic across calls."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        linear_quality_score,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.plans.checks import (
+        explain_str,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad bad good"), (3, "mystery words only")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 5), ("bad", -4)], "word string, weight long"
+    )
+    out = {
+        r.doc_id: r for r in linear_quality_score(docs, weights=weights).collect()
+    }
+    assert (out[1].logit_sum, out[1].keep) == (6, True)    # 5+5-4
+    assert (out[2].logit_sum, out[2].keep) == (-3, False)  # -4-4+5
+    assert (out[3].logit_sum, out[3].keep) == (0, True)    # unknowns -> 0
+    assert out[1].n_words == 3 and abs(out[1].logit - 2.0) < 1e-12
+
+    h1 = sorted(map(tuple, linear_quality_score(docs).collect()))
+    h2 = sorted(map(tuple, linear_quality_score(docs).collect()))
+    assert h1 == h2
+    plan = explain_str(linear_quality_score(docs, weights=weights))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_mixture_weights_upweights_low_resource(spark):
     """Two langs with 9:1 token mass at T=0.5: q ~ p^2 would
     DOWNweight the minority (T>1 flattens, T<1 sharpens — the
