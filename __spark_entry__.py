@@ -488,11 +488,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     run time, here at plan time. Only the two genuinely relational
     stages (decontaminate's gram rollup, line_dedup's df count) keep
     their joins. One materialization boundary: the decontaminated
-    corpus is eagerly localCheckpoint-ed (consumed 3x downstream, and
-    unlike persist() the blocks are ContextCleaner-freed once the
-    result DataFrame is dropped — a bare persist() here leaked its
-    cache entry into the rest of the 64-query bench session, the r6
-    ADVICE finding). Hash unchanged."""
+    corpus is persist()-ed (consumed 3x downstream) and registered
+    with the module's `cleanup()` hook, which the bench/sweep
+    harnesses call between queries — closing the r6 ADVICE cache
+    leak without eager localCheckpoint (whose full-width out-of-plan
+    materialization measured +4.8 s at sf0.1). Hash unchanged."""
     from pyspark.sql import Window as W
 
     from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
@@ -567,14 +567,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id"),
         "doc_id",
         "left_semi",
-    ).localCheckpoint(eager=True)
+    ).persist()
+    _LIVE_CACHES.append(dec)
     # consumed 3x by line_dedup (lines x2 + base); the local analogue
     # of the intermediate table a production pipeline writes between
     # jobs — without the boundary the quality+decontaminate subtree
     # (scan, gram explode, broadcast probe, rollup) re-runs three
-    # times inside one action. localCheckpoint, NOT persist: its
-    # blocks are ContextCleaner-freed when the result handle drops,
-    # where an unpersisted cache entry outlives the query (r6 ADVICE)
+    # times inside one action. persist + the `cleanup()` harness hook
+    # (bench.py/correctness_sweep.py call it between queries): the r6
+    # ADVICE leak fix WITHOUT eager localCheckpoint, whose full-width
+    # out-of-plan materialization measured +4.8 s at sf0.1 (r7)
     # 3. line-level dedup (df over the surviving corpus)
     ld = dec.select("doc_id", "lang").join(
         line_dedup_text(dec, max_df=3), "doc_id"
@@ -2960,6 +2962,24 @@ WHERE cr > 0.0
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_simple_contributors(spark, "/root/testdata/sf0.001")
+
+
+# caches created by query builders (currently: curation_pipeline's
+# decontaminated-corpus boundary); harnesses call cleanup() between
+# queries so no cache entry outlives its query (r6 ADVICE)
+_LIVE_CACHES: list = []
+
+
+def cleanup() -> None:
+    """Unpersist every cache a query builder registered. Called by
+    bench.py and scripts/correctness_sweep.py after each query's
+    action completes; safe to call when nothing is registered."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

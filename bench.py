@@ -59,6 +59,8 @@ def _run_suite_once(cpus: int, sf_dir: str) -> dict:
         t0 = time.time()
         counts[name] = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        if hasattr(entry_mod, "cleanup"):
+            entry_mod.cleanup()
     spark.stop()
     return {"queries": timings, "counts": counts}
 

@@ -89,6 +89,8 @@ def main() -> None:
                 )
         except Exception as exc:  # pragma: no cover - diagnostic path
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        if hasattr(entrymod, "cleanup"):
+            entrymod.cleanup()
         report[name] = rec
         ok = rec["hash_match"] if rec["err"] is None else rec["err"]
         print(f"  {name}: {ok}", file=sys.stderr, flush=True)
