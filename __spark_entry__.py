@@ -798,6 +798,19 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal (KenLM-style, one order above
+    unigram_surprisal): per-bigram bits = floor_log2(prefix count) -
+    floor_log2(bigram count), MLE P(w2|w1) over the corpus's own
+    bigram table; expression-side bigram construction, exact integer
+    bits end to end (operators/textstats.py::bigram_surprisal)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bigram_surprisal,
+    )
+
+    return bigram_surprisal(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier (CCNet/LLaMA
     model-based gate): per-word integer weights via the hashing trick
@@ -3003,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "incremental_near_dups": q_incremental_near_dups,
         "linear_quality": q_linear_quality,
+        "bigram_surprisal": q_bigram_surprisal,
         # -- absent from the r6 artifact (last green r4/r5)
         "audio_features": q_audio_features,
         "media_features": q_media_features,
@@ -4697,6 +4711,33 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
+        "bigram_surprisal": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+),
+sc AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((length(bin(c1.c1)) - 1) - (length(bin(c2.c2)) - 1))
+              AS BIGINT) AS surprisal_bits
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       COALESCE(sc.surprisal_bits, 0) AS surprisal_bits
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+""",
         "linear_quality": """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -743,6 +743,72 @@ def unigram_surprisal(
     )
 
 
+def bigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM surprisal scoring — `unigram_surprisal`'s
+    context-aware sibling (KenLM-style n-gram scoring, one order up):
+    per-bigram surprisal = -log2 P(w2|w1) with the MLE
+    P(w2|w1) = c(w1,w2) / c(w1·) where c(w1·) is w1's BIGRAM-PREFIX
+    count (the LM-correct denominator: sum of c(w1,*), which differs
+    from the unigram count by final-token occurrences). Docs whose
+    word PAIRS are corpus-rare score high even when every individual
+    word is common — the signal that separates scrambled common words
+    from fluent text, which the unigram scorer cannot see.
+
+    Same exact-INTEGER-bits discipline as unigram_surprisal:
+    per-bigram bits = floor(log2(c(w1·))) - floor(log2(c(w1,w2))),
+    floor(log2(x)) = length(bin(x)) - 1 — no float transcendentals,
+    bit-identical across engines. Docs with < 2 tokens score 0 bits
+    over 0 bigrams (emitted, n_bigrams=0 — the LM has nothing to say).
+
+    100-TB shape: bigrams are built EXPRESSION-side (F.transform over
+    the token array — no posexplode self-join); the bigram table =
+    groupBy(w1, w2) with map-side partials (shuffle 1); prefix counts
+    roll up from it (tiny second agg on w1); scoring re-joins doc
+    bigrams against both tables on their keys (AQE skew-join covers
+    the Zipf head) and the per-doc rollup is a shuffle on doc_id.
+    Nothing is collected; both model tables stay distributed."""
+    toks = F.split(F.col(text_col), " ")
+    big = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + F.lit(1)).alias("w2"),
+        ),
+    )
+    doc_bigrams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.when(F.size(toks) >= 2, big).otherwise(F.array())).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    bits = (
+        (F.length(F.bin(F.col("c1"))) - 1) - (F.length(F.bin(F.col("c2"))) - 1)
+    ).cast("long")
+    scored = (
+        doc_bigrams.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

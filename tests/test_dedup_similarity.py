@@ -1005,6 +1005,32 @@ def test_sequence_packing_fixture_stream_is_gapless(spark):
     assert rows[-1]["last_chunk"] == (pos - 1) // 64
 
 
+def test_bigram_surprisal_separates_scrambled_from_fluent(spark):
+    """The context signal unigram scoring cannot see: a scrambled
+    permutation of corpus-common words must out-surprise the fluent
+    ordering those words usually appear in (same unigram counts!),
+    and a 1-token doc scores (0 bigrams, 0 bits)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(8)]
+        + [(100, "mat the on sat cat the"),  # same words, scrambled
+           (101, "solo")],
+        "doc_id long, text string",
+    )
+    bg = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert bg[101].n_bigrams == 0 and bg[101].surprisal_bits == 0
+    assert bg[0].n_bigrams == 5 and bg[100].n_bigrams == 5
+    assert bg[100].surprisal_bits > bg[0].surprisal_bits
+    # unigram scoring is blind to the scramble (identical word bags)
+    ug = {r.doc_id: r for r in unigram_surprisal(docs).collect()}
+    assert ug[100].surprisal_bits == ug[0].surprisal_bits
+
+
 def test_linear_quality_score_weight_table_and_hash(spark):
     """The broadcast weight-table branch scores exactly SUM(weight)
     (unknown words weight 0), keep flips on the integer sign, and the
