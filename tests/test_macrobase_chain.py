@@ -276,3 +276,27 @@ def test_pairs_gate_operating_point_precondition():
             assert model.get(key) == res.num_records, (T, key, res.num_records)
             n_pairs_checked += 1
     assert n_pairs_checked > 50  # the branch under test actually fired
+
+
+def test_combined_gate_dyadic_exactness_bound():
+    """Operating-point precondition for the COMBINED
+    `macrobase_summaries` gate (r7): with decay_rate 0.5 and period
+    P=250, every AMC/FP-tree count is a sum of dyadics with LSB
+    2^-(T_max//P); the sum is order-independent (hence cross-engine
+    bit-exact) only while T_max//P + log2(#observations) <= 53. Assert
+    the bound holds WITH MARGIN at both driver-gate scales, so a
+    future fixture regeneration that grows the window count trips this
+    test instead of silently flipping the hash gate."""
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        (n_windows,) = duckdb.execute(
+            "SELECT count(DISTINCT CAST(floor(epoch(ts)/1800) AS BIGINT)) "
+            f"FROM read_parquet('/root/testdata/sf{sf}/events.parquet')"
+        ).fetchone()
+        k_bits = n_windows // 250
+        obs_bits = (2 * n_windows).bit_length()  # 2 attr marks per tuple
+        assert k_bits + obs_bits <= 48, (
+            f"sf{sf}: {n_windows} windows -> LSB 2^-{k_bits} + {obs_bits} "
+            "count bits approaches the 53-bit mantissa; re-derive P"
+        )
