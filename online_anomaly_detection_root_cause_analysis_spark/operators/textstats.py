@@ -1453,31 +1453,51 @@ def linear_quality_score(
     so keep = logit_sum >= 0 is an INTEGER comparison — the
     classification decision never touches floats at all).
 
-    Scale shape: explode -> per-doc integer agg (one shuffle with
-    map-side partials); the optional weight join broadcasts (trained
-    vocabularies are ~1e6 rows). Returns
+    Scale shape — the two branches deliberately differ:
+    - hashing-trick branch: ZERO-shuffle pure column math. The weight
+      of every token and the doc's logit_sum are a single
+      F.transform + F.aggregate expression over the split array — no
+      explode, no groupBy, no join; the whole operator is scan +
+      project, runs map-side at any corpus size, and is legal inside
+      a streaming micro-batch as a row-local pre-filter;
+    - weight-table branch: explode -> broadcast weight join ->
+      per-doc agg (one shuffle with map-side partials) — the shape a
+      trained ~1e6-row vocabulary actually ships in.
+    Both produce identical exact integers (parity-tested), so the
+    hash gate covers either plan. Returns
     (doc_id, n_words, logit_sum, logit, keep)."""
     from ..functions.text import sha60_col
 
     half = vocab_mod // 2
-    words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    )
     if weights is not None:
+        words = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
         ww = words.join(
             F.broadcast(weights.select("word", F.col("weight").cast("long"))),
             "word",
             "left",
         ).select("doc_id", F.coalesce(F.col("weight"), F.lit(0)).alias("w"))
-    else:
-        ww = words.select(
-            "doc_id", (F.pmod(sha60_col(F.col("word")), F.lit(vocab_mod)) - half).alias("w")
+        agg = ww.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w").cast("long").alias("logit_sum"),
         )
-    agg = ww.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum("w").cast("long").alias("logit_sum"),
-    )
+    else:
+        toks = F.split(F.col(text_col), " ")
+        wsum = F.aggregate(
+            F.transform(
+                toks,
+                lambda w: F.pmod(sha60_col(w), F.lit(vocab_mod)) - half,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        agg = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).cast("long").alias("n_words"),
+            wsum.alias("logit_sum"),
+        )
     return agg.select(
         "doc_id",
         "n_words",

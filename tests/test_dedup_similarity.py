@@ -1062,6 +1062,26 @@ def test_linear_quality_score_weight_table_and_hash(spark):
     assert h1 == h2
     plan = explain_str(linear_quality_score(docs, weights=weights))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the hashing-trick branch is ZERO-shuffle pure column math:
+    # scan + project only — no Exchange, no aggregate, no Python.
+    # On a hash-weight table equal to the hashing trick, the two
+    # branches must agree exactly (integer parity across plans).
+    hplan = explain_str(linear_quality_score(docs))
+    for node in ("Exchange", "HashAggregate", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in hplan, node
+    from online_anomaly_detection_root_cause_analysis_spark.functions.text import (
+        sha60_col,
+    )
+
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).distinct().select(
+        "word", (F.pmod(sha60_col(F.col("word")), F.lit(2001)) - 1000).alias("weight")
+    )
+    via_table = sorted(
+        map(tuple, linear_quality_score(docs, weights=vocab).collect())
+    )
+    assert via_table == h1
 
 
 def test_mixture_weights_upweights_low_resource(spark):
