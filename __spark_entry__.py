@@ -798,6 +798,18 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two context-length histogram with
+    cumulative token share — the pretraining context-window planning
+    rollup; integer-bits buckets, BIGINT running sums, one division
+    (operators/textstats.py::length_histogram)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    return length_histogram(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprisal (KenLM-style, one order above
     unigram_surprisal): per-bigram bits = floor_log2(prefix count) -
@@ -3017,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dups": q_incremental_near_dups,
         "linear_quality": q_linear_quality,
         "bigram_surprisal": q_bigram_surprisal,
+        "length_histogram": q_length_histogram,
         # -- absent from the r6 artifact (last green r4/r5)
         "audio_features": q_audio_features,
         "media_features": q_media_features,
@@ -4711,6 +4724,27 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
+        "length_histogram": """
+WITH keyed AS (
+  SELECT lang AS key,
+         length(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1 AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT key, CAST(bucket AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM keyed GROUP BY key, bucket
+)
+SELECT key, bucket,
+       CAST(1::BIGINT << bucket AS BIGINT) AS min_tokens,
+       n_docs, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY key ORDER BY bucket) AS DOUBLE)
+         / CAST(SUM(n_tokens) OVER (PARTITION BY key) AS DOUBLE)
+         AS cum_token_share
+FROM agg
+""",
         "bigram_surprisal": """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -1427,6 +1427,50 @@ def duplicate_spans(
     )
 
 
+def length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str | None = "lang",
+) -> DataFrame:
+    """Context-length planning histogram — the "how much of the corpus
+    fits a 2k/4k/8k context window" rollup every pretraining data
+    plan starts from: per (key, power-of-two length bucket) doc and
+    token counts plus the running cumulative share of tokens in
+    buckets <= this one. Bucket = floor(log2(n_tokens)), computed with
+    the repo's integer-bits identity (length(bin(x)) - 1) — exact on
+    both engines, no floats except the final share division (single
+    IEEE division of exact BIGINTs).
+
+    Scale shape: one partial-agg groupBy on (key, bucket) — bucket
+    cardinality is ~30 per key, so the running-total window runs over
+    a keys x 30 row table, never corpus rows."""
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    keyed = docs.select(
+        (F.col(key_col) if key_col else F.lit("all")).alias("key"),
+        (F.length(F.bin(toks)) - 1).cast("long").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    agg = keyed.groupBy("key", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("key").orderBy("bucket")
+    wall = W.partitionBy("key")
+    return agg.select(
+        "key",
+        "bucket",
+        F.expr("shiftleft(1L, cast(bucket as int))").alias("min_tokens"),
+        "n_docs",
+        "n_tokens",
+        (
+            F.sum("n_tokens").over(w).cast("double")
+            / F.sum("n_tokens").over(wall).cast("double")
+        ).alias("cum_token_share"),
+    )
+
+
 def linear_quality_score(
     docs: DataFrame,
     weights: DataFrame | None = None,

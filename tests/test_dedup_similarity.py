@@ -1573,3 +1573,29 @@ def test_incremental_near_dups_precomputed_old_banded(spark, tmp_path):
     # reads: strictly fewer old-corpus scan references (exact counts
     # vary with AQE final/initial listings and string truncation)
     assert fast_plan.count("old_docs_corpus") < base_plan.count("old_docs_corpus")
+
+
+def test_length_histogram_semantics(spark):
+    """Constructed corpus: buckets are floor(log2(n_tokens)),
+    min_tokens = 2^bucket, per-key doc/token counts are exact, and
+    cum_token_share is monotone reaching 1.0 at the top bucket."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 2 + "w", "en"),     # 3 tokens  -> bucket 1
+         (2, "w " * 6 + "w", "en"),     # 7 tokens  -> bucket 2
+         (3, "w " * 7 + "w", "en"),     # 8 tokens  -> bucket 3
+         (4, "solo", "de")],            # 1 token   -> bucket 0
+        ["doc_id", "text", "lang"],
+    )
+    out = {(r.key, r.bucket): r for r in length_histogram(docs).collect()}
+    assert out[("en", 1)].n_docs == 1 and out[("en", 1)].n_tokens == 3
+    assert out[("en", 2)].n_tokens == 7 and out[("en", 3)].n_tokens == 8
+    assert out[("en", 3)].min_tokens == 8
+    assert out[("de", 0)].min_tokens == 1
+    assert abs(out[("en", 3)].cum_token_share - 1.0) < 1e-12
+    assert abs(out[("de", 0)].cum_token_share - 1.0) < 1e-12
+    shares = [out[("en", b)].cum_token_share for b in (1, 2, 3)]
+    assert shares == sorted(shares)
