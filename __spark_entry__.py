@@ -856,6 +856,40 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting at T=1.0 (k=1): the identity operating
+    point — q == p and sample_weight == 1.0 for every language. Gates
+    the r7 ADVICE fix (the old exact path returned n_tokens instead
+    of 1.0 at k=1 because its weight numerator hardcoded the k=2
+    formula n*s1/sk; now n^(k-1)*s1/sk)
+    (operators/textstats.py::mixture_weights)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    return mixture_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), temperature=1.0
+    )
+
+
+def q_mixture_weights_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting at T=1/3 (k=3): a k>2 exact-integer point —
+    q ~ n_tokens^3 from BIGINT window sums, sample_weight =
+    n_tokens^2*s1/s3 (the r7 ADVICE k>=3 case, off by n^(k-2) before
+    the fix). BIGINT bound holds through sf1 (n^3 ~ 1.4e18 < 2^63);
+    T=0.25 (k=4) would overflow int64 at sf0.1 so it lives in the
+    unit test's small fixture only
+    (operators/textstats.py::mixture_weights)."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    return mixture_weights(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        temperature=1.0 / 3.0,
+    )
+
+
 def q_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language heavy-hitter words, top-10 with deterministic
     (count desc, word asc) ties; the rank filter compiles to
@@ -3021,6 +3055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked before r7 / changed this round
         "sequence_packing": q_sequence_packing,
         "mixture_weights": q_mixture_weights,
+        "mixture_weights_k1": q_mixture_weights_k1,
+        "mixture_weights_k3": q_mixture_weights_k3,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "macrobase_summaries": q_macrobase_summaries,
@@ -3742,7 +3778,15 @@ FROM c
 """
 
 
-_MIXTURE_WEIGHTS_SQL = """
+def _mixture_weights_sql(k: int) -> str:
+    """Mixture-weights oracle parameterized by the integer exponent
+    k = 1/T. n^k and n^(k-1) are spelled as literal BIGINT products
+    (DuckDB SUM widens to HUGEINT — CAST back to BIGINT to mirror
+    Spark's long window sums); sample_weight's numerator is
+    n^(k-1)*s1, matching the r7-fixed engine formula."""
+    nk = " * ".join(["n_tokens"] * k)
+    nkm1 = " * ".join(["n_tokens"] * (k - 1)) if k > 1 else "CAST(1 AS BIGINT)"
+    return f"""
 WITH k AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -3751,18 +3795,23 @@ WITH k AS (
 w AS (
   SELECT lang, n_docs, n_tokens,
     CAST(SUM(n_tokens) OVER () AS BIGINT) AS s1,
-    CAST(SUM(n_tokens * n_tokens) OVER () AS BIGINT) AS s2
+    CAST(SUM({nk}) OVER () AS BIGINT) AS sk
   FROM k
 )
 SELECT lang, n_docs, n_tokens,
   floor(CAST(n_tokens AS DOUBLE) / CAST(s1 AS DOUBLE) * 1e6 + 0.5) / 1e6
     AS p_data,
-  floor(CAST(n_tokens * n_tokens AS DOUBLE) / CAST(s2 AS DOUBLE) * 1e6 + 0.5)
+  floor(CAST({nk} AS DOUBLE) / CAST(sk AS DOUBLE) * 1e6 + 0.5)
     / 1e6 AS p_sample,
-  floor(CAST(n_tokens * s1 AS DOUBLE) / CAST(s2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+  floor(CAST(({nkm1}) * s1 AS DOUBLE) / CAST(sk AS DOUBLE) * 1e6 + 0.5) / 1e6
     AS sample_weight
 FROM w
 """
+
+
+_MIXTURE_WEIGHTS_SQL = _mixture_weights_sql(2)
+_MIXTURE_WEIGHTS_K1_SQL = _mixture_weights_sql(1)
+_MIXTURE_WEIGHTS_K3_SQL = _mixture_weights_sql(3)
 
 
 _TOP_WORDS_PER_LANG_SQL = """
@@ -4702,6 +4751,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": _bpe_tokenize_oracle_sql(),
         "sequence_packing": _SEQUENCE_PACKING_SQL,
         "mixture_weights": _MIXTURE_WEIGHTS_SQL,
+        "mixture_weights_k1": _MIXTURE_WEIGHTS_K1_SQL,
+        "mixture_weights_k3": _MIXTURE_WEIGHTS_K3_SQL,
         "blocklist_filter": _BLOCKLIST_FILTER_SQL,
         "value_percentiles": _VALUE_PERCENTILES_SQL,
         "embedding_topk_brute": _EMB_BRUTE_SQL,

@@ -564,8 +564,8 @@ def mixture_weights(
     (A transcendental pow(p, 1/0.7) is two different libm
     implementations; a 1-ulp disagreement at the 1e-6 floor boundary
     flips a hash gate — the same reason BPE/surprisal/DSIR use
-    integer-exact math.) BIGINT bound: n_l^k and n_l*sum(n_l) must
-    fit 2^63 — holds for k=2 up to ~3e9 tokens/lang; beyond that
+    integer-exact math.) BIGINT bound: n_l^k and n_l^(k-1)*sum(n_l)
+    must fit 2^63 — holds for k=2 up to ~3e9 tokens/lang; beyond that
     (or non-integer 1/T) the general float-pow path applies, which
     is for mixing-rate REPORTING, not hash gates.
 
@@ -585,13 +585,19 @@ def mixture_weights(
     inv = 1.0 / temperature
     k_exact = int(round(inv))
     if abs(inv - k_exact) < 1e-9 and k_exact >= 1:
-        num = F.col("n_tokens")
+        # num_km1 = n^(k-1), num = n^k — both exact BIGINT products.
+        # w = q/p = (n^k/sk)/(n/s1) = n^(k-1)*s1/sk, so the weight
+        # numerator is num_km1*s1 (r7 ADVICE: the old n*s1/sk form was
+        # only correct at k=2 — T=1.0 returned n_tokens instead of 1.0
+        # and k>=3 was off by n^(k-2)).
+        num_km1 = F.lit(1).cast("long")
         for _ in range(k_exact - 1):
-            num = num * F.col("n_tokens")
+            num_km1 = num_km1 * F.col("n_tokens")
+        num = num_km1 * F.col("n_tokens")
         sk = F.sum(num).over(everything)
         p = F.col("n_tokens").cast("double") / s1.cast("double")
         q = num.cast("double") / sk.cast("double")
-        wgt = (F.col("n_tokens") * s1).cast("double") / sk.cast("double")
+        wgt = (num_km1 * s1).cast("double") / sk.cast("double")
     else:
         p = F.col("n_tokens") / s1
         q_raw = F.pow(p, inv)

@@ -1189,6 +1189,51 @@ def test_mixture_weights_exact_integer_path(spark):
             assert abs(out[lang][c] - flo[lang][c]) <= 2e-6, (lang, c)
 
 
+def test_mixture_weights_exact_path_k1_k3_k4(spark):
+    """r7 ADVICE: the exact-integer path hardcoded the k=2 weight
+    formula n*s1/sk. Closed forms at k=1 (T=1.0: identity — q==p,
+    weight==1.0 exactly, NOT n_tokens), k=3 (T=1/3: w = n^2*s1/s3)
+    and k=4 (T=0.25: w = n^3*s1/s4), plus agreement with the general
+    float-pow path nudged off the integer-detection guard."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 8 + "w", "en") for i in range(9)]
+        + [(9, "w " * 8 + "w", "xh")],
+        ["doc_id", "text", "lang"],
+    )  # n_en=81, n_xh=9, s1=90
+
+    k1 = {r["lang"]: r for r in mixture_weights(docs, temperature=1.0).collect()}
+    for lang in ("en", "xh"):
+        assert k1[lang]["p_sample"] == k1[lang]["p_data"], lang
+        assert k1[lang]["sample_weight"] == 1.0, lang  # was n_tokens pre-fix
+
+    k3 = {
+        r["lang"]: r
+        for r in mixture_weights(docs, temperature=1.0 / 3.0).collect()
+    }
+    s3 = 81**3 + 9**3
+    assert abs(k3["en"]["p_sample"] - round(81**3 / s3, 6)) < 1e-9
+    assert abs(k3["en"]["sample_weight"] - round(81**2 * 90 / s3, 6)) < 1e-9
+    assert abs(k3["xh"]["sample_weight"] - round(9**2 * 90 / s3, 6)) < 1e-9
+
+    k4 = {r["lang"]: r for r in mixture_weights(docs, temperature=0.25).collect()}
+    s4 = 81**4 + 9**4
+    assert abs(k4["en"]["sample_weight"] - round(81**3 * 90 / s4, 6)) < 1e-9
+    assert abs(k4["xh"]["sample_weight"] - round(9**3 * 90 / s4, 6)) < 1e-9
+
+    for temp, exact in ((1.0, k1), (1.0 / 3.0, k3), (0.25, k4)):
+        flo = {
+            r["lang"]: r
+            for r in mixture_weights(docs, temperature=temp * (1 + 1e-7)).collect()
+        }
+        for lang in exact:
+            for c in ("p_data", "p_sample", "sample_weight"):
+                assert abs(exact[lang][c] - flo[lang][c]) <= 2e-6, (temp, lang, c)
+
+
 def test_near_dup_clusters_star_parity(spark):
     """Large-star/small-star must agree with min-label propagation on
     every constructed shape — including a 30-edge chain (diameter 31,
