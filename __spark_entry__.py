@@ -3044,29 +3044,49 @@ def cleanup() -> None:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is load-bearing: the driver's CORRECTNESS
     artifact row-caps at 50 and takes the FIRST 50 entries, so the
-    order is a rotation schedule (r6 VERDICT #1) — never-driver-
-    checked queries first, then queries whose implementation changed
-    since their last green driver row, then recent additions, and the
-    long-stable multi-round-green gates at the tail (their last green
-    rows stand in CORRECTNESS_r04-r06; the builder-side
-    scripts/correctness_sweep.py still covers ALL entries every
-    round, committed as BENCH/correctness_sweep_r{N}.json)."""
+    order is a rotation schedule (r6 VERDICT #1), now MECHANICALLY
+    checked (r7 VERDICT #5): scripts/rotation_check.py fingerprints
+    every query's transitive implementation closure at HEAD and at
+    the round commit of its last driver-green row, and
+    tests/test_rotation.py asserts that no changed-or-never-checked
+    query sits past position 50. Front: changed/new queries, then
+    the stalest-green rotation block (last green r6), then the
+    r7-green remainder; scripts/correctness_sweep.py still covers
+    ALL entries every round (BENCH/correctness_sweep_r{N}.json)."""
     return {
-        # -- never driver-checked before r7 / changed this round
-        "sequence_packing": q_sequence_packing,
-        "mixture_weights": q_mixture_weights,
+        # -- changed since last driver-green row / never checked (r8)
         "mixture_weights_k1": q_mixture_weights_k1,
         "mixture_weights_k3": q_mixture_weights_k3,
+        "mixture_weights": q_mixture_weights,
+        "incremental_near_dups": q_incremental_near_dups,
+        "dimension_breakdown": q_dimension_breakdown,
+        "dimension_breakdown_salted": q_dimension_breakdown_salted,
+        "simple_contributors": q_simple_contributors,
+        "hierarchical_contributors": q_hierarchical_contributors,
+        "hierarchical_contributors_cooc": q_hierarchical_contributors_cooc,
+        "summary_report": q_summary_report,
+        # -- stalest green rows (r6): rotated into the r8 window
+        "macrobase_alerts": q_macrobase_alerts,
+        "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
+        "zscore_alerts": q_zscore_alerts,
+        "zscore_alerts_by_key": q_zscore_alerts_by_key,
+        "session_windows": q_session_windows,
+        "threshold_alerts": q_threshold_alerts,
+        "window_sum_simple": q_window_sum_simple,
+        "offset_baseline": q_offset_baseline,
+        "offset_baseline_old": q_offset_baseline_old,
+        "sliding_window_sum": q_sliding_window_sum,
+        "tumbling_window_sum": q_tumbling_window_sum,
+        # -- r7-green remainder (window tail first, then the rest)
+        "sequence_packing": q_sequence_packing,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "macrobase_summaries": q_macrobase_summaries,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
-        "incremental_near_dups": q_incremental_near_dups,
         "linear_quality": q_linear_quality,
         "bigram_surprisal": q_bigram_surprisal,
         "length_histogram": q_length_histogram,
-        # -- absent from the r6 artifact (last green r4/r5)
         "audio_features": q_audio_features,
         "media_features": q_media_features,
         "blocklist_filter": q_blocklist_filter,
@@ -3077,7 +3097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_duplicates": q_embedding_near_duplicates,
-        # -- r5/r6 additions, green once in the driver artifact
         "macrobase_summaries_decayed": q_macrobase_summaries_decayed,
         "macrobase_summaries_single": q_macrobase_summaries_single,
         "macrobase_summaries_multiattr": q_macrobase_summaries_multiattr,
@@ -3106,28 +3125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_sample": q_perplexity_sample,
         "line_dedup": q_line_dedup,
         "top_words_per_lang": q_top_words_per_lang,
-        # -- tail: green in r4 AND r5 AND r6 driver artifacts; rotate
-        #    out of the 50-row driver window first
         "exact_duplicates": q_exact_duplicates,
-        "macrobase_alerts": q_macrobase_alerts,
-        "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
-        "zscore_alerts": q_zscore_alerts,
-        "zscore_alerts_by_key": q_zscore_alerts_by_key,
-        "session_windows": q_session_windows,
-        "hierarchical_contributors": q_hierarchical_contributors,
-        "hierarchical_contributors_cooc": q_hierarchical_contributors_cooc,
-        "simple_contributors": q_simple_contributors,
-        "dimension_breakdown": q_dimension_breakdown,
-        "dimension_breakdown_salted": q_dimension_breakdown_salted,
-        "threshold_alerts": q_threshold_alerts,
-        "summary_report": q_summary_report,
-        "window_sum_simple": q_window_sum_simple,
-        "offset_baseline": q_offset_baseline,
-        "offset_baseline_old": q_offset_baseline_old,
-        "sliding_window_sum": q_sliding_window_sum,
-        "tumbling_window_sum": q_tumbling_window_sum,
     }
-
 
 # ---------------------------------------------------------------- oracles
 

@@ -104,10 +104,14 @@ def main() -> None:
     clusters_dir = os.path.join(args.out, "clusters")
     keep_dir = os.path.join(args.out, "keep")
     clusters.write.mode("overwrite").parquet(clusters_dir)
-    clusters.filter(F.col("doc_id") == F.col("cluster_rep")).select(
+    # derive keep-list and summary counts from the WRITTEN table —
+    # re-using `clusters` here would re-execute the whole iterative
+    # clustering job once per action (r7 ADVICE)
+    written = spark.read.parquet(clusters_dir)
+    written.filter(F.col("doc_id") == F.col("cluster_rep")).select(
         "doc_id"
     ).write.mode("overwrite").parquet(keep_dir)
-    n_docs = clusters.count()
+    n_docs = written.count()
     n_kept = spark.read.parquet(keep_dir).count()
     print(
         f"clusterer={clusterer} docs={n_docs} kept={n_kept} "

@@ -197,6 +197,29 @@ def main() -> None:
         "— the streaming fuzzy tier of the monthly-refresh pattern",
     )
     ap.add_argument(
+        "--fuzzy-bands", type=int, default=32,
+        help="LSH band count for the fuzzy-dedup candidate stage; "
+        "MUST equal the banding of --fuzzy-old-banded's table "
+        "(asserted at startup via the table's stamped metadata)",
+    )
+    ap.add_argument(
+        "--fuzzy-num-hashes", type=int, default=64,
+        help="MinHash signature length for the fuzzy-dedup stage",
+    )
+    ap.add_argument(
+        "--fuzzy-ngram", type=int, default=3,
+        help="shingle size for the fuzzy-dedup MinHash signatures",
+    )
+    ap.add_argument(
+        "--fuzzy-seed", type=int, default=7,
+        help="MinHash permutation seed for the fuzzy-dedup stage",
+    )
+    ap.add_argument(
+        "--fuzzy-max-group", type=int, default=1000,
+        help="hot-bucket cap: LSH buckets (stream state AND the "
+        "old-banded probe side) beyond this size stop pairing",
+    )
+    ap.add_argument(
         "--hierarchy-from-data", action="store_true",
         help="resolve hierarchical-RCA parent values from per-window "
         "co-occurrence (parent = independent record field) instead of "
@@ -218,6 +241,11 @@ def main() -> None:
         fuzzy_dedup_col=args.fuzzy_dedup_col,
         fuzzy_watermark=args.fuzzy_watermark,
         fuzzy_old_banded_path=args.fuzzy_old_banded,
+        fuzzy_n=args.fuzzy_ngram,
+        fuzzy_num_hashes=args.fuzzy_num_hashes,
+        fuzzy_bands=args.fuzzy_bands,
+        fuzzy_seed=args.fuzzy_seed,
+        fuzzy_max_group=args.fuzzy_max_group,
     )
     pages = read_pages_stream(spark, args.input, args.max_files_per_trigger)
     if args.decontaminate_against:

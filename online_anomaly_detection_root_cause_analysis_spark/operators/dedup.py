@@ -555,7 +555,14 @@ def streaming_exact_dedup(
 _LSH_OUT_SCHEMA = (
     "doc_a long, doc_b long, band_idx int, band_hash long, event_ts timestamp"
 )
-# parallel arrays of (doc_id, event-time ms) — plain natives, no pickle
+# parallel arrays of (doc_id, event-time MICROSECONDS) — plain natives,
+# no pickle. CHECKPOINT COMPATIBILITY (r7 ADVICE): the unit changed
+# from ms to us in r7 with the array<long> schema unchanged — a
+# streaming query restored from a pre-r7 checkpoint would reinterpret
+# stored ms values as us (1000x too old), instantly pruning all live
+# entries and silently dropping candidate pairs. Restart such queries
+# from a FRESH checkpoint; there is no in-band version marker to
+# convert on read (state rows carry no unit field).
 _LSH_STATE_SCHEMA = "ids array<long>, tss array<long>"
 
 
@@ -761,7 +768,7 @@ def streaming_incremental_lsh(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     seed: int = 7,
     watermark: str = "1 hour",
     token_hash: str = "xxhash64",
@@ -774,11 +781,27 @@ def streaming_incremental_lsh(
     bands and equi-joins the previous run's persisted
     `banded_signature_table` (`old_banded`) — which MUST have been
     built with the same (n, num_hashes, bands, seed, token_hash), or
-    band keys silently never match — evaluated per micro-batch
+    band keys silently never match; the table's stamped column
+    metadata is checked at plan time and a mismatch raises
+    (r7 ADVICE, _assert_banding_compat; defaults now align with
+    banded_signature_table's bands=32) — evaluated per micro-batch
     with ZERO state (the same argument as the sha tier in
     streaming_cross_snapshot_dedup: the static side is a bucketable
     table, never state) — and (b) within the stream itself via the
     watermark-bounded band-bucket state of streaming_minhash_lsh.
+
+    Hot-bucket guard on the OLD side (r7 VERDICT #2): curated-corpus
+    buckets holding more than `max_group` docs are dropped from the
+    probe with the same bucket-size left-semi filter as
+    minhash_lsh_pairs — a boilerplate bucket with 10^6 curated docs
+    would otherwise emit 10^6 candidate rows for EVERY stream doc
+    that hashes into it, per band. (incremental_near_dups caps the
+    COMBINED old+new bucket; the stream side is unbounded online, so
+    the static cap is the computable analog — the batch twin applies
+    the identical filter, so parity holds by construction.) Callers
+    should persist/pre-aggregate the capped old side when the probe
+    table is large; the semi-join is part of the per-micro-batch
+    static subtree.
 
     Returns the union of both tiers' CANDIDATE pairs with a `side`
     column: 'old' rows are (curated doc_a, stream doc_b) band
@@ -796,6 +819,7 @@ def streaming_incremental_lsh(
     to the trigger's rows, the per-dump (here per-batch) cost
     contract of the incremental pattern. The in-stream tier's state
     is bounded by watermark span x max_group as before."""
+    _assert_banding_compat(old_banded, n, num_hashes, bands, seed, token_hash)
     sig = minhash_signature_expr(F.col(text_col), n, num_hashes, seed, token_hash)
     base = records.filter(
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
@@ -810,6 +834,13 @@ def streaming_incremental_lsh(
     old = old_banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
+    old_sizes = (
+        old.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_group)
+        .select("band_idx", "band_hash")
+    )
+    old = old.join(old_sizes, ["band_idx", "band_hash"], "left_semi")
     cross = banded.join(old, ["band_idx", "band_hash"]).select(
         "doc_a",
         F.col("doc_id").alias("doc_b"),
@@ -1096,11 +1127,67 @@ def banded_signature_table(
     production); the next run hands it to `incremental_near_dups` via
     `old_banded` so the old side's MinHash is never recomputed —
     per-dump cost on a 100-TB corpus instead of re-hashing history
-    every refresh."""
+    every refresh.
+
+    The banding parameters are stamped into the `band_hash` column's
+    metadata (StructField metadata survives the parquet round-trip via
+    Spark's schema property), so a consumer built with DIFFERENT
+    params — whose band keys would silently never match — fails fast
+    at plan time instead (r7 ADVICE; see _assert_banding_compat)."""
     sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col, seed, token_hash)
-    return banded_signatures(sigs, num_hashes, bands).select(
-        "doc_id", "band_idx", "band_hash"
+    return (
+        banded_signatures(sigs, num_hashes, bands)
+        .select("doc_id", "band_idx", "band_hash")
+        .withMetadata(
+            "band_hash",
+            {
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "seed": seed,
+                "token_hash": token_hash,
+            },
+        )
     )
+
+
+def _assert_banding_compat(
+    old_banded: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    token_hash: str,
+) -> None:
+    """Fail fast when a persisted banded-signature table was built
+    with different LSH parameters than the consumer (r7 ADVICE): band
+    hashes from mismatched (n, num_hashes, bands, seed, token_hash)
+    never collide, so the join silently emits ~zero old-side
+    candidates — the worst failure mode, invisible until a dedup
+    audit. banded_signature_table stamps its params into band_hash's
+    column metadata; tables without the stamp (ad-hoc frames) skip
+    the check."""
+    try:
+        meta = old_banded.schema["band_hash"].metadata or {}
+    except KeyError:
+        return
+    if not meta or "bands" not in meta:
+        return
+    want = {
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "seed": seed,
+        "token_hash": token_hash,
+    }
+    got = {k: meta.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            "banded_signature_table was built with different LSH "
+            f"parameters than this consumer: table={got} consumer={want}. "
+            "Band keys from mismatched parameters never match — rebuild "
+            "the table or pass the table's parameters."
+        )
 
 
 def incremental_near_dups(
@@ -1162,11 +1249,11 @@ def incremental_near_dups(
             side, n, num_hashes, bands, "text", "doc_id", seed, token_hash
         )
 
-    ob = (
-        old_banded.select("doc_id", "band_idx", "band_hash")
-        if old_banded is not None
-        else _banded(old)
-    )
+    if old_banded is not None:
+        _assert_banding_compat(old_banded, n, num_hashes, bands, seed, token_hash)
+        ob = old_banded.select("doc_id", "band_idx", "band_hash")
+    else:
+        ob = _banded(old)
     nb = _banded(new)
     sizes = (
         ob.unionByName(nb)

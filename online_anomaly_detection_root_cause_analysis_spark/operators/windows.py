@@ -116,14 +116,18 @@ def dimension_breakdown(
     salt_buckets > 0 enables two-level aggregation for skewed dimension
     values: first groupBy(window, dim, salt) partial sums, then the
     final rollup — bounds any single reducer's key volume. The salt
-    must VARY WITHIN a hot key to split it (r7 fix: it derives from
-    the row's value; the r5-r6 version hashed dim_value, which is
-    constant per key — a no-op rediscovered by the r6 VERDICT's skew
-    ask). The salt is summed out, so results are identical either
-    way; see BENCH/skew_salted.json for the measured verdict on when
-    this plan shape actually pays (spoiler: hash-aggregation sums are
-    already skew-absorbed by map-side partial aggregation — salting
-    exists for agg shapes without a combiner).
+    must VARY WITHIN a hot key to split it, for ANY row distribution:
+    it derives from monotonically_increasing_id (partition id + row
+    position), so even a hot key whose metric values are all equal —
+    count-style metrics where _value is constantly 1, the common skew
+    shape — still spreads across all buckets (r8 fix; the r7 version
+    hashed (_value, dim_name), a per-key no-op under constant values;
+    the r5-r6 version hashed dim_value, constant per key by
+    definition). The salt is summed out, so results are identical
+    either way; see BENCH/skew_salted.json for the measured verdict
+    on when this plan shape actually pays (spoiler: hash-aggregation
+    sums are already skew-absorbed by map-side partial aggregation —
+    salting exists for agg shapes without a combiner).
     """
     dims = cfg.dimension_names
     n = len(dims)
@@ -147,7 +151,9 @@ def dimension_breakdown(
             "w",
             "dim_name",
             "dim_value",
-            (F.abs(F.hash("_value", "dim_name")) % salt_buckets).alias("_salt"),
+            F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias(
+                "_salt"
+            ),
         ).agg(F.sum("_value").alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
         grouped = partial.groupBy("w", "dim_name", "dim_value").agg(
             F.sum("_psum").alias("dim_sum"), F.sum("_pcnt").alias("dim_count")

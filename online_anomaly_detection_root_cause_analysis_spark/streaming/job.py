@@ -197,6 +197,18 @@ class StreamingJob:
     # candidates with side='old' — the streaming fuzzy tier of the
     # incremental_near_dups monthly-refresh pattern
     fuzzy_old_banded_path: str | None = None
+    # LSH banding parameters for the candidates query (r7 ADVICE:
+    # previously unexposed, so the old-banded probe silently used
+    # defaults that mismatched banded_signature_table's bands=32 and
+    # emitted zero side='old' rows). These MUST equal the parameters
+    # the old banded table was built with — the table's stamped
+    # column metadata is asserted at plan time
+    fuzzy_n: int = 3
+    fuzzy_num_hashes: int = 64
+    fuzzy_bands: int = 32
+    fuzzy_seed: int = 7
+    fuzzy_token_hash: str = "xxhash64"
+    fuzzy_max_group: int = 1000
 
     @property
     def aggs_dir(self) -> str:
@@ -272,6 +284,14 @@ class StreamingJob:
             F.col(self.fuzzy_ts_col).alias("_fuzzy_ts"),
             F.col(self.fuzzy_dedup_col),
         )
+        banding = dict(
+            n=self.fuzzy_n,
+            num_hashes=self.fuzzy_num_hashes,
+            bands=self.fuzzy_bands,
+            seed=self.fuzzy_seed,
+            token_hash=self.fuzzy_token_hash,
+            max_group=self.fuzzy_max_group,
+        )
         if self.fuzzy_old_banded_path is not None:
             from ..operators.dedup import streaming_incremental_lsh
 
@@ -283,6 +303,7 @@ class StreamingJob:
                 text_col=self.fuzzy_dedup_col,
                 id_col="_fuzzy_id",
                 watermark=self.fuzzy_watermark,
+                **banding,
             )
         else:
             cands = streaming_minhash_lsh(
@@ -291,6 +312,7 @@ class StreamingJob:
                 text_col=self.fuzzy_dedup_col,
                 id_col="_fuzzy_id",
                 watermark=self.fuzzy_watermark,
+                **banding,
             )
         cands_dir = self.candidates_dir
         os.makedirs(cands_dir, exist_ok=True)

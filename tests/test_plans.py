@@ -44,6 +44,50 @@ def test_breakdown_stays_jvm_side(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_salt_varies_within_constant_value_hot_key(spark):
+    """r7 ADVICE: the salt must spread a hot key even when the metric
+    value is CONSTANT within it (count-style metrics, _value == 1 —
+    the r7 hash(_value, dim_name) salt collapsed to one bucket there).
+    On an all-constant fixture the partial stage must occupy every
+    salt bucket, and the salted result must equal the unsalted one."""
+    from datetime import datetime, timedelta
+
+    from online_anomaly_detection_root_cause_analysis_spark.config import (
+        web_pages_config,
+    )
+    from online_anomaly_detection_root_cause_analysis_spark.operators.windows import (
+        dimension_breakdown,
+    )
+
+    cfg = web_pages_config()
+    dim = cfg.dimension_names[0]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (t0 + timedelta(seconds=i), 1.0, *["hot"] * len(cfg.dimension_names))
+        for i in range(400)
+    ]
+    records = spark.createDataFrame(
+        rows, ["ts", "value"] + list(cfg.dimension_names)
+    ).repartition(8)
+
+    w = records.select(
+        F.window("ts", "300 seconds", "60 seconds").alias("w"),
+        F.col("value").alias("_value"),
+        F.lit(dim).alias("dim_name"),
+        F.lit("hot").alias("dim_value"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(16)).alias("_salt"),
+    )
+    n_buckets = w.select("_salt").distinct().count()
+    assert n_buckets == 16  # constant _value no longer collapses the salt
+
+    salted = dimension_breakdown(records, cfg, salt_buckets=16)
+    plain = dimension_breakdown(records, cfg)
+    key = ["window_start", "dim_name", "dim_value"]
+    assert sorted(map(tuple, salted.orderBy(*key).collect())) == sorted(
+        map(tuple, plain.orderBy(*key).collect())
+    )
+
+
 def test_rca_joins_broadcast_alerts(spark):
     df = e.q_simple_contributors(spark, SF_DIR)
     plan = explain_str(df)

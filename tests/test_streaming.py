@@ -1065,8 +1065,10 @@ def test_job_lsh_candidates_query_with_old_banded(spark, tmp_path):
     )
     old_dir = str(tmp_path / "old_banded")
     # banded with the SAME (n, num_hashes, bands, seed) the stream
-    # probe uses — mismatched banding params yield silent zero-match
-    banded_signature_table(old_docs, bands=16).write.parquet(old_dir)
+    # probe uses (both sides on their aligned defaults, bands=32) —
+    # mismatched params now RAISE at plan time via the table's
+    # stamped column metadata (r7 ADVICE)
+    banded_signature_table(old_docs).write.parquet(old_dir)
     # stream = fresh pages + RE-CRAWLS of curated pages (new url,
     # same text) + an in-stream mirror pair
     recrawls = curated.copy()
@@ -1355,7 +1357,7 @@ def test_streaming_incremental_lsh_matches_batch_and_incremental(spark, tmp_path
 
     old = spark.createDataFrame(old_pdf)
     old_banded_dir = str(tmp_path / "old_banded")
-    banded_signature_table(old, bands=16).write.parquet(old_banded_dir)
+    banded_signature_table(old).write.parquet(old_banded_dir)
     old_banded = spark.read.parquet(old_banded_dir)
 
     stream = (
@@ -1407,7 +1409,7 @@ def test_streaming_incremental_lsh_matches_batch_and_incremental(spark, tmp_path
     inc = {
         r.doc_id: r.n_old_matches
         for r in incremental_near_dups(
-            old, spark.createDataFrame(new_pdf[["doc_id", "text"]]), bands=16
+            old, spark.createDataFrame(new_pdf[["doc_id", "text"]])
         ).collect()
     }
     for d in xcopy.doc_id:
@@ -1447,7 +1449,7 @@ def test_streaming_incremental_lsh_checkpoint_resume(spark, tmp_path):
     )
 
     old_banded_dir = str(tmp_path / "old_banded")
-    banded_signature_table(spark.createDataFrame(old_pdf), bands=16).write.parquet(
+    banded_signature_table(spark.createDataFrame(old_pdf)).write.parquet(
         old_banded_dir
     )
 
@@ -1499,6 +1501,127 @@ def test_streaming_incremental_lsh_checkpoint_resume(spark, tmp_path):
     assert any(
         s == "new" and b >= 400000 and a == b - 300000 for a, b, _, s in got
     )
+
+
+def test_streaming_incremental_lsh_banding_mismatch_raises(spark, tmp_path):
+    """r7 ADVICE: a banded_signature_table built with different LSH
+    params used to silently emit ~zero side='old' candidates (band
+    keys never match). The params are now stamped into band_hash's
+    column metadata — which must survive the parquet round-trip —
+    and both consumers raise at plan time on mismatch."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        banded_signature_table,
+        incremental_near_dups,
+        streaming_incremental_lsh,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    old_dir = str(tmp_path / "old_banded16")
+    banded_signature_table(docs, bands=16).write.parquet(old_dir)
+    old_banded = spark.read.parquet(old_dir)
+    meta = old_banded.schema["band_hash"].metadata
+    assert meta["bands"] == 16 and meta["num_hashes"] == 64  # round-trip
+
+    from datetime import datetime
+
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta tok1", datetime(2024, 1, 1))],
+        "doc_id long, text string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="different LSH"):
+        streaming_incremental_lsh(new, old_banded)  # consumer bands=32
+    with pytest.raises(ValueError, match="different LSH"):
+        incremental_near_dups(docs, new.drop("ts"), old_banded=old_banded)
+    # matching params pass the gate
+    streaming_incremental_lsh(new, old_banded, bands=16)
+    incremental_near_dups(docs, new.drop("ts"), bands=16, old_banded=old_banded)
+
+
+def test_streaming_incremental_lsh_old_hot_bucket_capped(spark, tmp_path):
+    """r7 VERDICT #2: the stream-static 'old' tier applies the same
+    bucket-size cap as minhash_lsh_pairs — a boilerplate bucket in
+    the curated corpus (here 30 identical docs) with max_group=10
+    emits ZERO old-side candidates for a stream doc hashing into it,
+    while an under-cap cluster (3 docs) still pairs fully; the batch
+    twin produces the identical candidate set on the fixture."""
+    import pandas as pd
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        banded_signature_table,
+        streaming_incremental_lsh,
+    )
+
+    hot = "the same boilerplate footer text repeated on every page"
+    warm = "a rare licensing notice appearing on three curated pages"
+    old_pdf = pd.DataFrame(
+        {"doc_id": range(33), "text": [hot] * 30 + [warm] * 3}
+    )
+    old_dir = str(tmp_path / "old_banded")
+    banded_signature_table(spark.createDataFrame(old_pdf)).write.parquet(old_dir)
+    old_banded = spark.read.parquet(old_dir)
+
+    new_pdf = pd.DataFrame(
+        {
+            "doc_id": [1000, 1001, 1002],
+            "text": [hot, warm, "an unrelated fresh document body here"],
+        }
+    )
+    t0 = pd.Timestamp("2024-01-01")
+    new_pdf["ts"] = (t0 + pd.to_timedelta(new_pdf.index * 30, unit="s")).astype(
+        "datetime64[us]"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_chunks(new_pdf, src, 1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_incremental_lsh(
+            stream, old_banded, watermark="4 hours", max_group=10
+        )
+        .writeStream.format("memory")
+        .queryName("hot_bucket_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = [
+        (r.doc_a, r.doc_b, r.band_idx, r.side)
+        for r in spark.sql(
+            "SELECT doc_a, doc_b, band_idx, side FROM hot_bucket_stream"
+        ).collect()
+    ]
+    old_rows = [(a, b) for a, b, _, s in streamed if s == "old"]
+    # hot bucket (30 > 10) dropped: zero candidates for the hot probe
+    assert not any(b == 1000 for _, b in old_rows)
+    # warm cluster (3 <= 10) pairs fully: 3 old docs x 32 bands
+    warm_rows = [(a, b) for a, b in old_rows if b == 1001]
+    assert len(warm_rows) == 3 * 32
+    assert {a for a, _ in warm_rows} == {30, 31, 32}
+    # the unrelated doc matches nothing
+    assert not any(b == 1002 for _, b in old_rows)
+
+    batch = [
+        (r.doc_a, r.doc_b, r.band_idx, r.side)
+        for r in streaming_incremental_lsh(
+            spark.createDataFrame(new_pdf),
+            old_banded,
+            watermark="4 hours",
+            max_group=10,
+        ).collect()
+    ]
+    assert sorted(streamed) == sorted(batch)
 
 
 def test_streaming_cross_snapshot_dedup(spark, tmp_path):
