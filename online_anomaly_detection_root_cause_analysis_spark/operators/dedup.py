@@ -1005,9 +1005,12 @@ def near_dup_clusters_star(
       its smaller neighbors; all of u's smaller neighbors (and u)
       re-attach to m(u). One groupBy + one join.
     Convergence = edge multiset fixed point, checked with a SCALAR
-    fingerprint agg (count, sum(small), sum(crc32(big:small)) — crc
-    summed into long, no ANSI overflow at any realistic edge count)
-    rather than a driver collect; `max_iters` fails loudly. Every
+    fingerprint agg (count, sum(small mod 2^31-1), sum(crc32(
+    big:small)) — each term bounded well under 2^32 per row, so the
+    long sums cannot ANSI-overflow below ~2^31 edges; raw sum(small)
+    DID overflow once ids came from xxhash64's full 64-bit range, the
+    r8 e2e topology test's discovery) rather than a driver collect;
+    `max_iters` fails loudly. Every
     round ends in an eager localCheckpoint — MANDATORY here, not a
     nicety: one star round references the incoming edge set ~8x, so
     with persist() alone the analyzed plan octuples per round and the
@@ -1037,7 +1040,7 @@ def near_dup_clusters_star(
         return tuple(
             e.agg(
                 F.count("*"),
-                F.sum("small"),
+                F.sum(F.pmod(F.col("small"), F.lit((1 << 31) - 1))),
                 F.sum(
                     F.crc32(
                         F.concat_ws(":", F.col("big"), F.col("small"))

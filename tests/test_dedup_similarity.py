@@ -1265,6 +1265,33 @@ def test_near_dup_clusters_star_parity(spark):
     assert star == prop
     assert star[99] == 99 and star[32] == 30
 
+
+def test_near_dup_clusters_star_full_range_ids(spark):
+    """Regression (r8): the star clusterer's convergence fingerprint
+    summed raw ids — xxhash64-keyed corpora (the streaming topology's
+    url keying) span the full signed-64 range and the sum ANSI-
+    overflowed. The fingerprint now sums ids mod 2^31-1; ids near both
+    Long extremes must cluster without error and agree with
+    propagation."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_clusters_star,
+    )
+
+    m = (1 << 63) - 1
+    ids = [m, m - 1, m - 2, -m, -m + 1, -m + 5, 7]
+    pairs = spark.createDataFrame(
+        [(m, m - 1), (m - 1, m - 2), (-m, -m + 1), (-m + 5, -m)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    star = {r.doc_id: r.cluster_rep
+            for r in near_dup_clusters_star(pairs, all_docs=docs).collect()}
+    prop = {r.doc_id: r.cluster_rep
+            for r in near_dup_clusters(pairs, all_docs=docs).collect()}
+    assert star == prop
+    assert star[m] == m - 2 and star[-m + 5] == -m and star[7] == 7
+
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 130)], "doc_a long, doc_b long"
     )
