@@ -335,3 +335,99 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 13,
+    iters: int = 10,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index ivf_topk's docstring promises: the
+    corpus written to `<path>/vectors` PARTITIONED BY cell (hive
+    layout, one file per cell via repartition on the partition key)
+    plus the trained centroid matrix at `<path>/centroids` — the
+    one-time shuffle that turns every later probe into a
+    partition-PRUNED scan. At 100 TB this is the difference between
+    "nprobe/n_centroids of the data read from disk" and "all of it
+    read, most filtered": partition pruning happens at planning time,
+    before a single byte of a non-probed cell is touched. Returns the
+    centroids (pass them back to ivf_topk_from_index / ivf_topk)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        embeddings, n_centroids, seed, iters, sample, id_col, vec_col
+    )
+    cell_udf, _ = _ivf_cell_udfs(cents, 1)
+    v = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), v.alias("v"), cell_udf(v).alias("cell")
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    return [list(r.centroid) for r in rows]
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF probe over a write_ivf_index store: the queries' probe
+    cells are computed DRIVER-side (the query batch is the tiny,
+    already-broadcast side — at most |queries| x nprobe ints) and
+    pushed into the scan as a LITERAL partition filter
+    (`cell IN (...)`), so Catalyst prunes non-probed cell directories
+    at planning time — `inputFiles()` on the result lists only probed
+    cells' files, the property the parity test asserts. Scoring and
+    ranking are identical to ivf_topk (same broadcast cell join, same
+    exact cosine, same deterministic tie order), so results match
+    ivf_topk bit-for-bit given the same centroids/nprobe."""
+    cents = centroids if centroids is not None else read_ivf_centroids(spark, path)
+    _, probes_udf = _ivf_cell_udfs(cents, nprobe)
+    qv = F.col("query_vec").cast("array<double>")
+    q = queries.select(
+        "query_id", qv.alias("qv"), F.explode(probes_udf(qv)).alias("cell")
+    )
+    q_rows = q.collect()  # bounded: |queries| x nprobe rows
+    probe_cells = sorted({int(r.cell) for r in q_rows})
+    e = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "v", F.col("cell").cast("int").alias("cell"))
+    )
+    q_df = spark.createDataFrame(
+        [(r.query_id, list(r.qv), int(r.cell)) for r in q_rows],
+        "query_id long, qv array<double>, cell int",
+    )
+    scored = e.join(F.broadcast(q_df), "cell").select(
+        "query_id", "vec_id", cosine_udf(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

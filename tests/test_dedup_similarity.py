@@ -462,6 +462,70 @@ def test_ivf_topk_exhaustive_probe_equals_brute(spark):
     assert ann == brute
 
 
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """r8: the scale path ivf_topk's docstring promises, made real —
+    write_ivf_index stores the corpus hive-partitioned by cell;
+    ivf_topk_from_index pushes the probe cells into the scan as a
+    literal partition filter. Asserts (a) planning-time pruning:
+    inputFiles() of the probe result lists ONLY probed-cell
+    directories, (b) bit-for-bit parity with the in-memory ivf_topk
+    at the same centroids/nprobe, (c) the centroid sidecar
+    round-trips."""
+    import re as _re
+
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(emb, path, n_centroids=16)
+    assert read_ivf_centroids(spark, path) == cents
+
+    out = ivf_topk_from_index(spark, path, queries, k=10, nprobe=3)
+    # planning-time pruning: the FileScan's PartitionFilters carries a
+    # literal INSET of exactly the probe-cell union (inputFiles() is
+    # no witness — it lists the whole relation pre-pruning)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[cell#\d+ INSET ([\d, ]+)", plan)
+    assert m, plan[:2000]
+    cells_scanned = {int(x) for x in m.group(1).split(",") if x.strip()}
+    from online_anomaly_detection_root_cause_analysis_spark.operators.similarity import (
+        _ivf_cell_udfs,
+    )
+
+    _, probes_udf = _ivf_cell_udfs(cents, 3)
+    expected = {
+        int(c)
+        for r in queries.select(
+            F.explode(
+                probes_udf(F.col("query_vec").cast("array<double>"))
+            ).alias("cell")
+        ).collect()
+        for c in [r.cell]
+    }
+    assert cells_scanned == expected
+    assert len(cells_scanned) < 16  # non-probed cells never scanned
+
+    mem = {
+        (r.query_id, r.vec_id, round(r.cosine, 12), r.rank)
+        for r in ivf_topk(
+            emb, queries, k=10, n_centroids=16, nprobe=3, centroids=cents
+        ).collect()
+    }
+    idx = {
+        (r.query_id, r.vec_id, round(r.cosine, 12), r.rank)
+        for r in out.collect()
+    }
+    assert idx == mem
+
+
 def test_ivf_recall_knob_and_candidate_reduction(spark):
     """The ANN half of the IVF gate: partial probing really prunes the
     candidate set (~nprobe/n_centroids of the corpus is scored) and
