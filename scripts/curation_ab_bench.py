@@ -10,8 +10,11 @@ the same warmup action, interleaved ABBA ABBA ... so slow host
 windows hit both variants equally — the BENCH/skew_salted.json
 protocol. Writes BENCH/curation_ab_r8.json.
 
-Usage: python scripts/curation_ab_bench.py [pairs] [sf_dir]
-Worker mode (internal): CURATION_AB_VARIANT=head|r6 -> one timing line.
+Usage:
+    git worktree add .ab_r6 <r6-commit>   # 88f7ebc; .ab_r6 is gitignored
+    python scripts/curation_ab_bench.py [pairs] [sf_dir]
+    git worktree remove --force .ab_r6    # keep LoC diagnostics honest
+Worker mode (internal): --worker head|r6 <sf_dir> -> one timing line.
 """
 
 import json
