@@ -581,13 +581,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ld = dec.select("doc_id", "lang").join(
         line_dedup_text(dec, max_df=3), "doc_id"
     )
-    # 4. PII redaction — inline projection (map-side)
-    red_text = redacted_text_col(F.col("clean_text"))
+    # 4. PII redaction — inline projection (map-side). The redacted
+    # text is pre-projected ONCE (r9): sha2 and length both reference
+    # it, and leaving the regexp_replace chain inline evaluated the
+    # whole chain twice per row (multi-referenced via a plain
+    # attribute, the optimizer keeps the projection)
     red = ld.select(
+        "doc_id", "lang", redacted_text_col(F.col("clean_text")).alias("_rt")
+    ).select(
         "doc_id",
         "lang",
-        F.sha2(red_text, 256).alias("redacted_sha"),
-        F.length(red_text).cast("long").alias("redacted_len"),
+        F.sha2(F.col("_rt"), 256).alias("redacted_sha"),
+        F.length(F.col("_rt")).cast("long").alias("redacted_len"),
     )
     # 5. exact dedup on the REDACTED text, min-doc_id representative
     kept = (
@@ -1372,16 +1377,16 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _le_bytes(dsize, 4),
         data,
     )
+    # content_sha rides the SAME scan as the payload (r9):
+    # extract_audio_features passes non-payload columns through, so
+    # the old feats-to-content join (second scan + join) is gone
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         wav_payload.alias("payload"),
-    )
-    feats = extract_audio_features(media)
-    content = docs.select(
-        F.col("doc_id").alias("media_id"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
-    return feats.join(content, "media_id").select(
+    feats = extract_audio_features(media)
+    return feats.select(
         "media_id", "n_bytes", "sample_rate", "channels",
         "bits_per_sample", "n_frames", "duration_ms", "content_sha",
     )

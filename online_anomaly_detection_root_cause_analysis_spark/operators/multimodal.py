@@ -355,11 +355,18 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             ],
         )
 
+    # r9: non-payload input columns pass through, so a caller that
+    # already carries per-media metadata (e.g. a content sha computed
+    # in the same scan) gets it alongside the features without a
+    # features-to-metadata join afterwards (guide §2.4 — two
+    # operations keyed the same way should share one pass)
+    extra = [c for c in media.columns if c not in ("media_id", "payload")]
     return media.select(
         "media_id",
         F.octet_length("payload").cast("long").alias("n_bytes"),
         probe(F.col("payload")).alias("_a"),
         F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        *extra,
     ).select(
         "media_id",
         "n_bytes",
@@ -369,4 +376,5 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         F.col("_a.n_frames").alias("n_frames"),
         F.col("_a.duration_ms").alias("duration_ms"),
         "payload_sha",
+        *extra,
     )

@@ -815,6 +815,34 @@ def bigram_surprisal(
     )
 
 
+def _word_gram_rows(frame: DataFrame, tcol: str, n: int, keep) -> DataFrame:
+    """Exploded (keep..., gram) word n-gram rows, map-side only.
+
+    The token array is PRE-PROJECTED into its own column before the
+    transform lambda (r9, guide §1.2 "per-task work"): higher-order
+    functions evaluate interpreted, and with `split(<text expr>)`
+    inlined in the lambda the split — and the whole text expression
+    under it — re-evaluates once per gram element, O(len^2) per
+    document when the text column is itself a computed expression
+    (exactly what the curation pipeline feeds in). A separate select
+    makes the array a plain attribute the optimizer keeps projected
+    (multi-referenced non-cheap expressions are not collapsed back):
+    measured 17 s -> 5 s on the 1.7M-gram sf1.0 curation corpus,
+    identical rows. Still zero shuffle — the no-corpus-shuffle
+    contract of the decontamination probe is unchanged."""
+    pre = frame.select(*keep, F.split(F.col(tcol), " ").alias("_w"))
+    wa = F.col("_w")
+    g = F.when(
+        F.size(wa) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wa) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(wa, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out_cols = [c for c in pre.columns if c != "_w"]
+    return pre.select(*out_cols, F.explode(g).alias("gram"))
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -842,19 +870,10 @@ def decontaminate(
 
     Returns one row per corpus document: occurrence and distinct
     matched-gram counts plus the `contaminated` verdict."""
-    def _grams(frame: DataFrame, tcol: str, keep):
-        words = F.split(F.col(tcol), " ")
-        g = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return frame.select(*keep, F.explode(g).alias("gram"))
-
-    bench_grams = _grams(benchmark, bench_text_col, []).distinct()
-    corpus_grams = _grams(docs, text_col, [F.col(id_col).alias("doc_id")])
+    bench_grams = _word_gram_rows(benchmark, bench_text_col, n, []).distinct()
+    corpus_grams = _word_gram_rows(
+        docs, text_col, n, [F.col(id_col).alias("doc_id")]
+    )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
@@ -896,23 +915,11 @@ def contamination_report(
     shuffle for the match); the rollup shuffles only the HIT rows on
     the benchmark doc id (hits are a vanishing fraction of corpus
     grams). Emits every benchmark doc, zero-filled."""
-
-    def _grams(frame, tc, keep):
-        words = F.split(F.col(tc), " ")
-        g = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return frame.select(*keep, F.explode(g).alias("gram"))
-
-    bench_grams = _grams(
-        benchmark, bench_text_col, [F.col(bench_id_col).alias("bench_id")]
+    bench_grams = _word_gram_rows(
+        benchmark, bench_text_col, n, [F.col(bench_id_col).alias("bench_id")]
     ).distinct()
-    corpus_grams = _grams(
-        docs, text_col, [F.col(id_col).alias("corpus_id")]
+    corpus_grams = _word_gram_rows(
+        docs, text_col, n, [F.col(id_col).alias("corpus_id")]
     ).distinct()
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
@@ -1586,14 +1593,16 @@ def dsir_select(
     plan). Ties at the cut break by doc_id ascending: fully
     deterministic output.
 
-    100-TB shape: two explode+groupBy word-count shuffles whose final
-    key space is `n_buckets` (partial agg collapses map-side, the
-    shuffle is B rows per mapper regardless of corpus size); the
-    scoring table is B rows — broadcast, so scoring itself is
-    map-side; the per-doc rollup is the one corpus-proportional
-    shuffle; top-k is TakeOrdered (per-partition heads, no global
-    sort). The target corpus may be big or small — nothing here
-    collects it."""
+    100-TB shape (r9): the raw pool is tokenized+hashed ONCE into
+    per-doc bucket counts (the one corpus-proportional shuffle, keyed
+    (doc_id, bucket)); the target pays one explode+groupBy whose
+    final key space is `n_buckets` (partial agg collapses map-side);
+    the model rollup and normalizer totals are B-row table work (a
+    whole-frame window sum over the full-outer bucket join — no extra
+    corpus pass); the scoring table is B rows — broadcast, so scoring
+    is map-side over the bucket counts; top-k is TakeOrdered
+    (per-partition heads, no global sort). The target corpus may be
+    big or small — nothing here collects it."""
     from ..functions.text import sha60_col
 
     def word_buckets(df: DataFrame) -> DataFrame:
@@ -1612,31 +1621,57 @@ def dsir_select(
 
     rw = word_buckets(raw)
     tw = word_buckets(target)
+    # r9: ONE hashing pass over the raw pool (it used to be hashed
+    # twice — once for the bucket model, once for scoring): per-doc
+    # bucket occurrence counts `dbc` are the shared intermediate, and
+    # both consumers (the model's rc rollup and the per-doc scorer)
+    # sit on dbc's (doc_id, bucket) exchange; rc = sum(n_occ) and the
+    # occurrence-weighted score sums are exactly the old per-row
+    # aggregates. sha60 per word is the oracle-pinned cost, so
+    # halving the passes halves it.
+    dbc = rw.groupBy("doc_id", "bucket").agg(F.count("*").alias("n_occ"))
     tc = tw.groupBy("bucket").agg(F.count("*").alias("tc"))
-    rc = rw.groupBy("bucket").agg(F.count("*").alias("rc"))
+    rc = dbc.groupBy("bucket").agg(F.sum("n_occ").alias("rc"))
 
     def bits(c):
         return (F.length(F.bin(c)) - 1).cast("long")
 
-    score = rc.join(tc, "bucket", "left").select(
+    # r9 (guide §2.4): the normalizer totals used to be two MORE full
+    # corpus explode passes (count(*) over rw/tw); they are exactly
+    # sum(rc)/sum(tc), computed here as whole-frame window sums over
+    # the B-row FULL-OUTER bucket join (full outer so target buckets
+    # absent from the raw pool still count toward tt), then the score
+    # rows — rc-present buckets only, as before — carry c_bits along.
+    # Corpus passes drop from 5 to the DSIR minimum of 3 (train x2,
+    # score x1); the window runs on B rows in one partition, free.
+    from pyspark.sql import Window as W
+
+    w_all = W.partitionBy()
+    joined = rc.join(tc, "bucket", "full").select(
+        "bucket",
+        "rc",
+        "tc",
+        (F.sum(F.coalesce(F.col("rc"), F.lit(0))).over(w_all) + n_buckets).alias("tr"),
+        (F.sum(F.coalesce(F.col("tc"), F.lit(0))).over(w_all) + n_buckets).alias("tt"),
+    )
+    score = joined.filter(F.col("rc").isNotNull()).select(
         "bucket",
         (
             bits(F.coalesce(F.col("tc"), F.lit(0)) + 1) - bits(F.col("rc") + 1)
         ).alias("score_bits"),
-    )
-    consts = (
-        tw.agg((F.count("*") + n_buckets).alias("tt"))
-        .join(rw.agg((F.count("*") + n_buckets).alias("tr")))
-        .select((bits(F.col("tr")) - bits(F.col("tt"))).alias("c_bits"))
+        (bits(F.col("tr")) - bits(F.col("tt"))).alias("c_bits"),
     )
     per_doc = (
-        rw.join(F.broadcast(score), "bucket")
+        dbc.join(F.broadcast(score), "bucket")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_words"), F.sum("score_bits").alias("sum_bits"))
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("score_bits")).alias("sum_bits"),
+            F.max("c_bits").alias("c_bits"),
+        )
     )
     return (
-        per_doc.join(F.broadcast(consts))
-        .select(
+        per_doc.select(
             "doc_id",
             F.col("n_words").cast("long").alias("n_words"),
             (F.col("sum_bits") + F.col("n_words") * F.col("c_bits"))

@@ -450,16 +450,17 @@ def test_duplicate_spans_plan_shape(spark):
 
 
 def test_dsir_select_plan_shape(spark):
-    """DSIR scoring is map-side: the B-row score table and the scalar
-    normalizer broadcast, the top-k cut is TakeOrdered (per-partition
-    heads, no global sort), and nothing is Python."""
+    """DSIR scoring is map-side: the B-row score table (which since
+    r9 carries the scalar normalizer as a column, collapsing the old
+    second broadcast join) broadcasts, the top-k cut is TakeOrdered
+    (per-partition heads, no global sort), and nothing is Python."""
     plan = explain_str(e.q_dsir_select(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     import re
 
-    assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.MULTILINE)) >= 2
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange$", plan, re.MULTILINE)) >= 1
 
 
 def test_incremental_near_dups_plan_shape(spark):
