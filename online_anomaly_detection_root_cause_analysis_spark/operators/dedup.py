@@ -343,6 +343,50 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    max_group: int = 1000,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """CANDIDATE ID PAIRS from banding LSH — the ids-only fast path
+    consumed by `near_duplicates` (whose verify stage recomputes exact
+    Jaccard anyway and never reads est_jaccard). Same candidate set as
+    minhash_lsh_pairs' (doc_a, doc_b) projection, bit-for-bit
+    (asserted in tests).
+
+    r9 shape (guide §2.4): instead of self-joining the exploded band
+    table (two sort-merge sorts of N x bands rows) plus a separate
+    bucket-size aggregation + left_semi join for the hot-bucket
+    guard, ONE groupBy collects each (band_idx, band_hash) bucket's
+    ids; the size filter IS the hot-bucket guard (one shuffle total),
+    and pairs are emitted map-side by exploding each member against
+    its greater in-bucket partners. Per-row memory is bounded by
+    max_group ids (~8 KB at the default cap), never by the O(k^2)
+    pair count — measured 14.7 s -> 7.3 s for the sf1.0 candidate
+    pass at local[32]."""
+    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col, seed, token_hash)
+    banded = banded_signatures(sigs, num_hashes, bands).select(
+        "doc_id", "band_idx", "band_hash"
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_group))
+    )
+    exploded = buckets.select("_ids", F.explode("_ids").alias("doc_a"))
+    partners = F.filter(F.col("_ids"), lambda y: y > F.col("doc_a"))
+    return (
+        exploded.select("doc_a", F.explode(partners).alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def simhash_bits(token_hash: str) -> int:
     """xxhash64 gives 64 usable bits; the sha60 oracle hash gives 60."""
     return 64 if token_hash == "xxhash64" else 60
@@ -491,9 +535,9 @@ def near_duplicates(
     free: candidates are materialized to a table by the LSH job and
     the verify job naturally scans only candidate docs' shingles —
     single-query persist is the wrong tool for it."""
-    cands = minhash_lsh_pairs(
+    cands = minhash_band_candidates(
         docs, n, num_hashes, bands, text_col, id_col, seed, max_group, token_hash
-    ).select("doc_a", "doc_b")
+    )
     return verify_candidate_pairs(
         docs, cands, n, threshold, text_col, id_col, df_cap
     )

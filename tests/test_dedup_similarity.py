@@ -33,6 +33,42 @@ def corpus(spark):
     return entry_mod._doc_corpus(spark, SF_DIR).cache()
 
 
+def test_minhash_band_candidates_match_lsh_pairs(spark, corpus):
+    """r9: near_duplicates' ids-only candidate path (bucket-array
+    pair emission, one shuffle, in-filter hot-bucket guard) must
+    produce EXACTLY the pair set of minhash_lsh_pairs' (doc_a, doc_b)
+    projection — same banding, same max_group semantics."""
+    from online_anomaly_detection_root_cause_analysis_spark.operators.dedup import (
+        minhash_band_candidates,
+    )
+
+    via_join = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, n=3, num_hashes=64, bands=32)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    via_arrays = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_band_candidates(corpus, n=3, num_hashes=64, bands=32).collect()
+    }
+    assert via_arrays == via_join
+    # a tiny max_group must drop the same hot buckets in both paths
+    via_join_capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, n=3, num_hashes=64, bands=32, max_group=2)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    via_arrays_capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_band_candidates(
+            corpus, n=3, num_hashes=64, bands=32, max_group=2
+        ).collect()
+    }
+    assert via_arrays_capped == via_join_capped
+
+
 def test_minhash_lsh_recall_vs_exact(spark, corpus):
     exact = {
         (r.doc_a, r.doc_b)
