@@ -155,6 +155,11 @@ def main() -> None:
     sf = bench.get("sf")
     cpus = bench.get("cpus")
     runs = bench.get("runs_per_query")
+    # ADVICE r8: driver artifacts' compact line omits runs_per_query —
+    # never render a literal None into the doc
+    runs_note = (
+        f"{runs} runs" if runs else "repeat count not recorded in this artifact"
+    )
     excluded = bench.get("excluded", {})
 
     parts: list[str] = []
@@ -175,7 +180,7 @@ come from BASELINE.json.
 ## Headline suite (sf{sf}, local[{cpus}], `python bench.py`)
 
 Protocol: per-query **{bench.get('aggregation', 'median over fresh-JVM runs')}**
-({runs} runs; bench.py spawns a subprocess per run — single-run
+({runs_note}; bench.py spawns a subprocess per run — single-run
 numbers swing with host co-tenancy). **Total {total} s over
 {nq} timed queries.**
 
@@ -185,6 +190,32 @@ Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
 (row counts in the bench JSON; includes full dimension breakdowns).
 """
     )
+    # Builder-local post-optimization runs newer than the driver
+    # artifact (committed under BENCH/bench_local_r*.json): surface
+    # their totals so BASELINE.md is never silently stale between the
+    # driver's round artifacts.
+    local_runs = []
+    for f in sorted(glob.glob(os.path.join(REPO, "BENCH", "bench_local_r*.json"))):
+        m = re.search(r"_r(\d+)", os.path.basename(f))
+        if m and f"_r{int(m.group(1)):02d}" not in bench_src and int(m.group(1)) > (
+            int(re.search(r"_r(\d+)", bench_src).group(1))
+            if re.search(r"_r(\d+)", bench_src)
+            else -1
+        ):
+            local_runs.append((f, _load(f)))
+    if local_runs:
+        lines = ["\n## Newer builder-local runs (post-optimization, frozen bench.py)\n"]
+        for f, d in local_runs:
+            if not isinstance(d, dict) or "value" not in d:
+                continue
+            lines.append(
+                f"- `{os.path.relpath(f, REPO)}`: **{d['value']} s** total at "
+                f"sf{d.get('sf')} ({d.get('runs_per_query')} fresh-JVM runs, "
+                f"per-query median) — see OPTIMIZATION_r09.md for the "
+                f"per-operator attribution."
+            )
+        if len(lines) > 1:
+            parts.append("\n".join(lines) + "\n")
     if excluded:
         parts.append("Deliberately excluded from the timed suite (reason printed in the bench JSON — no silent caps):\n")
         for name, reason in excluded.items():
@@ -382,8 +413,11 @@ median **{h:.2f} s** vs the r6 commit's code **{r6:.2f} s** — HEAD is
 {r6 / h:.2f}x FASTER, so the bench delta was registry position
 (cold-JIT/page-cache: the same query swings {spread:.1f}x between the
 first fresh-JVM run on a cold page cache and a warm one inside this
-one A/B) plus host co-tenancy, not a code regression. Row counts
-identical ({ab['rows_head']}). No fix needed; the r8 bench-order pin
+one A/B) plus host co-tenancy, not a code regression. {(
+    f"Row counts identical ({ab['rows_head']})."
+    if ab.get("rows_head") == ab.get("rows_r6")
+    else f"ROW COUNTS DIVERGE: head={ab.get('rows_head')} vs r6={ab.get('rows_r6')} — investigate."
+)} No fix needed; the r8 bench-order pin
 (sorted names) removes the position confound going forward.
 """
         )

@@ -1365,6 +1365,15 @@ def test_near_dup_clusters_star_parity(spark):
     assert star == prop
     assert star[99] == 99 and star[32] == 30
 
+    # 30-edge chain, diameter 31 — propagation's adversarial case and
+    # the O(log n)-rounds argument for star contraction (ADVICE r8:
+    # this block belongs to the parity test, not full_range_ids)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_rep for r in near_dup_clusters_star(chain).collect()}
+    assert set(out.values()) == {100} and len(out) == 31
+
 
 def test_near_dup_clusters_star_full_range_ids(spark):
     """Regression (r8): the star clusterer's convergence fingerprint
@@ -1391,12 +1400,6 @@ def test_near_dup_clusters_star_full_range_ids(spark):
             for r in near_dup_clusters(pairs, all_docs=docs).collect()}
     assert star == prop
     assert star[m] == m - 2 and star[-m + 5] == -m and star[7] == 7
-
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(100, 130)], "doc_a long, doc_b long"
-    )
-    out = {r.doc_id: r.cluster_rep for r in near_dup_clusters_star(chain).collect()}
-    assert set(out.values()) == {100} and len(out) == 31
 
 
 def test_near_dup_clusters_star_fixture_parity(spark):

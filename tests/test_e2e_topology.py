@@ -47,7 +47,9 @@ def _write_chunks(pdf, path, n_files: int, start_idx: int = 0) -> None:
 
 
 def test_two_job_topology_cli_end_to_end(spark, tmp_path, monkeypatch):
-    sys.path.insert(0, "/root/repo/jobs")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "jobs")
+    )
     run_streaming = importlib.import_module("run_streaming")
     run_dedup = importlib.import_module("run_dedup")
 
