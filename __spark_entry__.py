@@ -3059,17 +3059,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r7-green remainder; scripts/correctness_sweep.py still covers
     ALL entries every round (BENCH/correctness_sweep_r{N}.json)."""
     return {
-        # -- changed since last driver-green row / never checked (r8)
-        "mixture_weights_k1": q_mixture_weights_k1,
-        "mixture_weights_k3": q_mixture_weights_k3,
-        "mixture_weights": q_mixture_weights,
+        # -- changed since last driver-green row (r9 optimization round:
+        # verify/candidate rebuild, simhash vote aggregation, gram
+        # pre-split — all oracle-green in BENCH/correctness_sweep_r9.json)
+        "near_duplicates": q_near_duplicates,
+        "near_dup_clusters": q_near_dup_clusters,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "decontamination": q_decontamination,
+        "contamination_report": q_contamination_report,
+        # -- changed r8 (still within the window where possible)
         "incremental_near_dups": q_incremental_near_dups,
-        "dimension_breakdown": q_dimension_breakdown,
-        "dimension_breakdown_salted": q_dimension_breakdown_salted,
         "simple_contributors": q_simple_contributors,
         "hierarchical_contributors": q_hierarchical_contributors,
         "hierarchical_contributors_cooc": q_hierarchical_contributors_cooc,
-        "summary_report": q_summary_report,
         # -- stalest green rows (r6): rotated into the r8 window
         "macrobase_alerts": q_macrobase_alerts,
         "macrobase_alerts_by_key": q_macrobase_alerts_by_key,
@@ -3114,23 +3117,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "shard_manifest": q_shard_manifest,
         "ngram_jaccard": q_ngram_jaccard,
-        "near_duplicates": q_near_duplicates,
-        "near_dup_clusters": q_near_dup_clusters,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "text_stats": q_text_stats,
         "repetition_ratios": q_repetition_ratios,
         "quality_filter": q_quality_filter,
         "vocabulary": q_vocabulary,
         "stratified_sample": q_stratified_sample,
-        "decontamination": q_decontamination,
         "url_host_stats": q_url_host_stats,
         "unigram_surprisal": q_unigram_surprisal,
-        "contamination_report": q_contamination_report,
         "perplexity_sample": q_perplexity_sample,
         "line_dedup": q_line_dedup,
         "top_words_per_lang": q_top_words_per_lang,
         "exact_duplicates": q_exact_duplicates,
+        # -- r8-green, unchanged in r9: rotated out of the window to
+        # make room for the r9-changed block above
+        "mixture_weights_k1": q_mixture_weights_k1,
+        "mixture_weights_k3": q_mixture_weights_k3,
+        "mixture_weights": q_mixture_weights,
+        "dimension_breakdown": q_dimension_breakdown,
+        "dimension_breakdown_salted": q_dimension_breakdown_salted,
+        "summary_report": q_summary_report,
     }
 
 # ---------------------------------------------------------------- oracles
