@@ -3114,9 +3114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_star": q_near_dup_clusters_star,
         "duplicate_spans": q_duplicate_spans,
         "dsir_select": q_dsir_select,
+        # ngram_jaccard rotated INTO the window (r9: doc_shingles gained
+        # the shared explicit token repartition, so its fingerprint
+        # changed); dataset_card (green, unchanged) rotated out
+        "ngram_jaccard": q_ngram_jaccard,
         "dataset_card": q_dataset_card,
         "shard_manifest": q_shard_manifest,
-        "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "repetition_ratios": q_repetition_ratios,
         "quality_filter": q_quality_filter,

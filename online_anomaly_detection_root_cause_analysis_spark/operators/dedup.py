@@ -78,19 +78,41 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _exploded_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, _pos, _t) token rows, explicitly hash-partitioned by
+    doc_id. Shared verbatim by `doc_shingles` and
+    `minhash_signatures` so the two subtrees canonicalize to the SAME
+    exchange: a query composing both (near_duplicates' LSH candidates
+    + exact-Jaccard verify) pays the corpus scan, tokenizer and
+    doc_id shuffle once, with AQE's ReusedExchange feeding the second
+    consumer from the first's shuffle files. The repartition is not a
+    tuning knob: it is the exchange the downstream windows would have
+    inserted anyway (AQE may still coalesce its partitions), hoisted
+    out of the window so both branches name the identical subtree."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
+    ).repartition("doc_id")
+
+
 def doc_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct (doc_id, shingle) rows. Shingle strings via posexplode
     + lead() windows (codegen) rather than the interpreted transform/
     slice array form; dropDuplicates reproduces the distinct-shingle
-    set semantics."""
+    set semantics.
+
+    The doc_id shuffle is an EXPLICIT repartition of the bare
+    (doc_id, _pos, _t) token rows — canonically identical to
+    `minhash_signatures`' (r9), so when one query consumes both (the
+    near_duplicates/near_dup_clusters LSH+verify composition) AQE's
+    exchange reuse runs the scan+split+explode subtree and its
+    shuffle ONCE instead of twice; the window then needs no further
+    exchange (hashpartitioning(doc_id) satisfies its distribution)."""
     from pyspark.sql import Window as W
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
-    )
+    toks = _exploded_tokens(docs, text_col, id_col)
     w = W.partitionBy("doc_id").orderBy("_pos")
     parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
     return (
@@ -179,12 +201,18 @@ def minhash_signatures(
     # min() is duplicate-insensitive, so multiset shingles == the
     # distinct-shingle semantics of exact Jaccard. One shuffle by
     # doc_id for the window, reused by the aggregation (same key).
+    #
+    # r9: the shuffle input is the bare (doc_id, _pos, _t) rows of
+    # `_exploded_tokens` — identical to doc_shingles' — and the token
+    # hash is projected AFTER the exchange (still once per token: the
+    # projection sits between the exchange and the window's sort, not
+    # inside the lead() expressions), so near_duplicates-style
+    # compositions reuse one exchange for both the signature and the
+    # shingle branch. Shuffled bytes are ~unchanged (short word
+    # strings vs 8-byte hashes).
     from pyspark.sql import Window as W
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_t"),
-    ).select(
+    toks = _exploded_tokens(docs, text_col, id_col).select(
         "doc_id",
         "_pos",
         F.pmod(_token_hash_col(F.col("_t"), token_hash), F.lit(MERSENNE_P)).alias("_th"),
