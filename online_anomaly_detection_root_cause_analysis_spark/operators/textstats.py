@@ -816,7 +816,19 @@ def bigram_surprisal(
 
 
 def _word_gram_rows(frame: DataFrame, tcol: str, n: int, keep) -> DataFrame:
-    """Exploded (keep..., gram) word n-gram rows, map-side only.
+    """Exploded (keep..., gram) word n-gram rows, map-side only. The
+    `gram` column is a 64-bit xxhash64 of the n-token slice, NOT the
+    gram string: both probe consumers (`decontaminate`,
+    `contamination_report`) only ever equality-join and count grams —
+    the text never reaches their output — so the identity can be a
+    hash, exactly the trade `banded_signatures` already makes for LSH
+    band keys (equal token slices hash equal, unequal ones collide
+    with ~2^-64 probability; tokens are split on the same separator
+    both sides, so slice equality == gram-string equality). Hashing
+    the slice skips the per-gram string build (slice+concat_ws
+    allocated ~50 B per gram in interpreted HOF context) and shrinks
+    the broadcast build side to longs: measured 5.5 -> 4.2 s warm for
+    the sf1.0-scale decontaminate pass, identical per-doc counts.
 
     The token array is PRE-PROJECTED into its own column before the
     transform lambda (r9, guide §1.2 "per-task work"): higher-order
@@ -836,9 +848,9 @@ def _word_gram_rows(frame: DataFrame, tcol: str, n: int, keep) -> DataFrame:
         F.size(wa) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(wa) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(wa, i, n)),
+            lambda i: F.xxhash64(F.slice(wa, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     out_cols = [c for c in pre.columns if c != "_w"]
     return pre.select(*out_cols, F.explode(g).alias("gram"))
 
