@@ -1053,6 +1053,21 @@ def near_dup_clusters(
     # -> ~8 s at sf0.001). The same reasoning does NOT apply to the
     # one-pass queries (see hierarchical_contributors' rejected-cache
     # note): persist pays only when a frame is consumed by MANY jobs.
+    #
+    # r9 second pass: materialize the DIRECTED edges first (one narrow
+    # persist + count), THEN build the symmetric closure from the
+    # cached blocks. The old shape unioned `edges` with its own
+    # reversal, so the pairs pipeline appeared twice in the sym plan —
+    # exchange reuse covers the stages below the last shuffle, but the
+    # post-exchange verify work (broadcast joins + array_intersect
+    # scoring) re-executed in both branches during materialization:
+    # measured 25.9-34.8 s for sym materialization at sf1.0-scale vs
+    # ~10-15 s for one near_duplicates pass on the same host. The
+    # count() is the materialization barrier; the directed cache is
+    # released as soon as sym (also cached) is materialized by the
+    # labels-init checkpoint below.
+    edges = edges.persist()
+    edges.count()
     sym = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1067,6 +1082,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    edges.unpersist()
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id, "inner")
