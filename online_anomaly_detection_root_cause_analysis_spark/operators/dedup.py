@@ -98,27 +98,44 @@ def _exploded_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def doc_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows. Shingle strings via posexplode
-    + lead() windows (codegen) rather than the interpreted transform/
-    slice array form; dropDuplicates reproduces the distinct-shingle
-    set semantics.
+    """Distinct (doc_id, shingle) rows, where `shingle` is the 64-bit
+    xxhash64 of the n-token tuple — NOT the gram string. Every
+    consumer (ngram_jaccard_pairs, verify_candidate_pairs,
+    incremental_near_dups) only equality-joins, deduplicates and
+    counts shingles; shingle text never reaches any output, so the
+    identity can be a hash — the same ~2^-64-collision trade
+    `banded_signatures` makes for band keys and `_word_gram_rows` for
+    decontamination grams (r9). Tokens are whitespace-split, so the
+    old concat_ws(" ") string was injective over the token tuple and
+    tuple-hash equality == gram-string equality. The payoff is
+    everywhere the shingle travels: no per-shingle string build, the
+    document-frequency shuffle moves 8-byte longs instead of ~20-char
+    strings, dedup/rollup aggregate on longs, and the verify stage's
+    array_intersect compares longs.
 
-    The doc_id shuffle is an EXPLICIT repartition of the bare
-    (doc_id, _pos, _t) token rows — canonically identical to
-    `minhash_signatures`' (r9), so when one query consumes both (the
-    near_duplicates/near_dup_clusters LSH+verify composition) AQE's
-    exchange reuse runs the scan+split+explode subtree and its
-    shuffle ONCE instead of twice; the window then needs no further
-    exchange (hashpartitioning(doc_id) satisfies its distribution)."""
+    Shingles via posexplode + lead() windows (codegen) rather than
+    the interpreted transform/slice array form; dropDuplicates
+    reproduces the distinct-shingle set semantics. The doc_id shuffle
+    is an EXPLICIT repartition of the bare (doc_id, _pos, _t) token
+    rows — canonically identical to `minhash_signatures`' (r9), so
+    when one query consumes both (the near_duplicates /
+    near_dup_clusters LSH+verify composition) AQE's exchange reuse
+    runs the scan+split+explode subtree and its shuffle ONCE instead
+    of twice; the window then needs no further exchange
+    (hashpartitioning(doc_id) satisfies its distribution)."""
     from pyspark.sql import Window as W
 
     toks = _exploded_tokens(docs, text_col, id_col)
     w = W.partitionBy("doc_id").orderBy("_pos")
     parts = [F.col("_t")] + [F.lead("_t", k).over(w) for k in range(1, n)]
+    # guard on the LAST lead: leads are null only past the document
+    # end, so parts[-1] non-null implies every part is non-null and
+    # only full n-token tuples are hashed (xxhash64 would otherwise
+    # silently skip nulls and alias short tails with real shingles)
     return (
         toks.select(
             "doc_id",
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+            F.when(parts[-1].isNotNull(), F.xxhash64(*parts)).alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull())
         .dropDuplicates(["doc_id", "shingle"])
@@ -456,21 +473,37 @@ def simhash_table(
     # no conditional) plus ONE shared token count, and decide the
     # sign at the end: votes_j > 0  <=>  2*ones_j > count (exact
     # integer equivalence with the old sum(+1/-1) form, hash-gated by
-    # the driver oracle). Same aggregation-buffer width, but each of
-    # the 64 per-row updates drops its codegen'd branch: measured
+    # the driver oracle). Dropping the 64 codegen'd branches measured
     # 9.9 s -> 6.3 s on the 11.5M-token sf1.0 corpus at local[32].
-    votes = exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_s{j}")
-            for j in range(bits)
-        ],
-    )
+    #
+    # r9 second pass: TWO bit counters packed per aggregation column
+    # (bit j in the low 32-bit lane, bit j+1 in the high lane), so the
+    # buffer is 31 longs + count instead of 61 and each row does half
+    # the aggregate updates: a further 4.3 -> 3.7 s on the same corpus
+    # (quiet-window interleaved A/B), identical simhash values. Lanes
+    # cannot interact below 2^31 tokens per DOCUMENT (low lane sums
+    # bits < 2^32; high lane term is bit<<32, so the long sum
+    # ANSI-errors — loudly, not silently — only past ~2^31 tokens in
+    # one doc, far beyond any real document).
+    npairs = (bits + 1) // 2
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    for p in range(npairs):
+        j0, j1 = 2 * p, 2 * p + 1
+        term = F.shiftright(F.col("_h"), j0).bitwiseAND(F.lit(1))
+        if j1 < bits:
+            term = term + F.shiftleft(
+                F.shiftright(F.col("_h"), j1).bitwiseAND(F.lit(1)), 32
+            )
+        aggs.append(F.sum(term).alias(f"_p{p}"))
+    votes = exploded.groupBy("doc_id").agg(*aggs)
     sh = F.lit(0).cast("long")
     for j in range(bits):
+        p, hi = divmod(j, 2)
+        fld = F.col(f"_p{p}")
+        ones = F.shiftright(fld, 32) if hi else fld.bitwiseAND(F.lit((1 << 32) - 1))
         sh = sh.bitwiseOR(
             F.when(
-                F.col(f"_s{j}") * 2 > F.col("_cnt"),
+                ones * 2 > F.col("_cnt"),
                 F.shiftleft(F.lit(1).cast("long"), j),
             ).otherwise(F.lit(0).cast("long"))
         )
