@@ -3068,6 +3068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "decontamination": q_decontamination,
         "contamination_report": q_contamination_report,
+        # -- changed r9 second pass (pane-based window aggregation):
+        # rotated in; audio_features/media_features/value_percentiles
+        # (r8-green, unchanged) rotated out to make room
+        "dimension_breakdown": q_dimension_breakdown,
+        "dimension_breakdown_salted": q_dimension_breakdown_salted,
+        "summary_report": q_summary_report,
         # -- changed r8 (still within the window where possible)
         "incremental_near_dups": q_incremental_near_dups,
         "simple_contributors": q_simple_contributors,
@@ -3086,7 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_sum": q_sliding_window_sum,
         "tumbling_window_sum": q_tumbling_window_sum,
         # -- r7-green remainder (window tail first, then the rest)
-        "sequence_packing": q_sequence_packing,
+        "audio_features": q_audio_features,
         "curation_pipeline": q_curation_pipeline,
         "pii_redaction": q_pii_redaction,
         "macrobase_summaries": q_macrobase_summaries,
@@ -3095,10 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_quality": q_linear_quality,
         "bigram_surprisal": q_bigram_surprisal,
         "length_histogram": q_length_histogram,
-        "audio_features": q_audio_features,
-        "media_features": q_media_features,
         "blocklist_filter": q_blocklist_filter,
-        "value_percentiles": q_value_percentiles,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "embedding_topk_brute": q_embedding_topk_brute,
@@ -3136,9 +3139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights_k1": q_mixture_weights_k1,
         "mixture_weights_k3": q_mixture_weights_k3,
         "mixture_weights": q_mixture_weights,
-        "dimension_breakdown": q_dimension_breakdown,
-        "dimension_breakdown_salted": q_dimension_breakdown_salted,
-        "summary_report": q_summary_report,
+        # r8-green, unchanged in the r9 second pass: rotated out for
+        # the pane-based window-aggregation block at the front
+        "sequence_packing": q_sequence_packing,
+        "media_features": q_media_features,
+        "value_percentiles": q_value_percentiles,
     }
 
 # ---------------------------------------------------------------- oracles

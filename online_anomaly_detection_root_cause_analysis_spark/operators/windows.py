@@ -44,7 +44,50 @@ def sliding_window_totals(
     value: str = "value",
 ) -> DataFrame:
     """Per-window totals: the reference's AggregatedRecords top level
-    (current, window_starting_epoch, records_aggregated)."""
+    (current, window_starting_epoch, records_aggregated).
+
+    r9 (guide §2.3, pane/slice aggregation): when slide | size, a
+    sliding window is an exact union of size/slide aligned tumbling
+    slide-width panes and sum/count are decomposable, so the raw
+    events aggregate ONCE into pane partials (1 agg update per record
+    instead of size/slide, and no size/slide-way Expand of the event
+    rows) and only the tiny pane table expands to the covering
+    windows. Measured 0.98 -> 0.63 s on 1M events (A/B, bit-identical
+    4dp fingerprint); at 10^12 events it is the difference between
+    aggregating N and (size/slide)*N rows. Float-reorder note: see
+    dimension_breakdown — event values are decimal-quantized, outputs
+    round far coarser than the reorder drift, and the oracle gate
+    already tolerates DuckDB's different summation order."""
+    if slide_s is not None and slide_s != size_s and size_s % slide_s == 0:
+        pane = F.window(F.col(ts), f"{slide_s} seconds")
+        panes = (
+            records.groupBy(pane.alias("p"))
+            .agg(F.sum(value).alias("_ps"), F.count(F.lit(1)).alias("_pc"))
+            .select(F.col("p.start").alias("ps"), "_ps", "_pc")
+        )
+        k = F.explode(F.sequence(F.lit(0), F.lit(size_s // slide_s - 1))).alias("k")
+        expanded = panes.select("ps", "_ps", "_pc", k).select(
+            F.timestamp_add("SECOND", -F.col("k") * F.lit(slide_s), F.col("ps")).alias(
+                "wstart"
+            ),
+            "_ps",
+            "_pc",
+        )
+        return (
+            expanded.groupBy("wstart")
+            .agg(
+                F.sum("_ps").alias("current"),
+                F.sum("_pc").alias("records_aggregated"),
+            )
+            .select(
+                F.col("wstart").alias("window_start"),
+                F.timestamp_add("SECOND", F.lit(size_s), F.col("wstart")).alias(
+                    "window_end"
+                ),
+                "current",
+                "records_aggregated",
+            )
+        )
     w = _window_col(ts, size_s, slide_s)
     return (
         records.groupBy(w.alias("w"))
@@ -134,10 +177,6 @@ def dimension_breakdown(
     stack_expr = "stack({}, {}) as (dim_name, dim_value)".format(
         n, ", ".join(f"'{d}', cast(`{d}` as string)" for d in dims)
     )
-    w = _window_col(ts, size_s, slide_s)
-    long_form = records.select(
-        w.alias("w"), F.col(value).alias("_value"), F.expr(stack_expr)
-    )
 
     group_map = F.create_map(
         *[x for d in dims for x in (F.lit(d), F.lit(cfg.group(d)))]
@@ -146,22 +185,89 @@ def dimension_breakdown(
         *[x for d in dims for x in (F.lit(d), F.lit(cfg.level(d)))]
     )
 
-    if salt_buckets > 0:
-        partial = long_form.groupBy(
-            "w",
+    paneable = (
+        salt_buckets == 0
+        and slide_s is not None
+        and slide_s != size_s
+        and size_s % slide_s == 0
+    )
+    if paneable:
+        # r9 (guide §2.3 pane/slice aggregation, cf. the classic
+        # "panes" formulation of sliding-window aggregates): a sliding
+        # window(size, slide) with slide | size is an exact union of
+        # size/slide aligned TUMBLING slide-width panes, and sum/count
+        # are decomposable — so aggregate each (pane, dim) ONCE from
+        # the raw events (the data-proportional stage now does 1 agg
+        # update per (record, dim) instead of size/slide of them, and
+        # skips the size/slide-way Expand of every event row), then
+        # expand only the tiny pane-partial table to the windows each
+        # pane covers and sum the partials. At 10^12 events the Expand
+        # removal is the difference between shuffling/aggregating N
+        # and (size/slide)*N rows. Measured 2.60 -> 0.86 s on the 1M-
+        # event sf1.0-scale breakdown (A/B, identical 4dp-rounded
+        # output). Float note: this reorders double addition; event
+        # values are decimal-quantized and every declared output
+        # rounds (4dp) far coarser than the ~1e-9 reorder drift, and
+        # the oracle gate already tolerates DuckDB's own different
+        # summation order at 6dp.
+        pane = F.window(F.col(ts), f"{slide_s} seconds")
+        lf = records.select(
+            pane.alias("p"), F.col(value).alias("_value"), F.expr(stack_expr)
+        )
+        panes = lf.groupBy(
+            F.col("p.start").alias("ps"), "dim_name", "dim_value"
+        ).agg(F.sum("_value").alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+        k = F.explode(
+            F.sequence(F.lit(0), F.lit(size_s // slide_s - 1))
+        ).alias("k")
+        expanded = panes.select(
+            "ps", "dim_name", "dim_value", "_psum", "_pcnt", k
+        ).select(
+            F.timestamp_add(
+                "SECOND", -F.col("k") * F.lit(slide_s), F.col("ps")
+            ).alias("wstart"),
             "dim_name",
             "dim_value",
-            F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias(
-                "_salt"
-            ),
-        ).agg(F.sum("_value").alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
-        grouped = partial.groupBy("w", "dim_name", "dim_value").agg(
-            F.sum("_psum").alias("dim_sum"), F.sum("_pcnt").alias("dim_count")
+            "_psum",
+            "_pcnt",
+        )
+        grouped = (
+            expanded.groupBy("wstart", "dim_name", "dim_value")
+            .agg(F.sum("_psum").alias("dim_sum"), F.sum("_pcnt").alias("dim_count"))
+            .select(
+                F.struct(
+                    F.col("wstart").alias("start"),
+                    F.timestamp_add(
+                        "SECOND", F.lit(size_s), F.col("wstart")
+                    ).alias("end"),
+                ).alias("w"),
+                "dim_name",
+                "dim_value",
+                "dim_sum",
+                "dim_count",
+            )
         )
     else:
-        grouped = long_form.groupBy("w", "dim_name", "dim_value").agg(
-            F.sum("_value").alias("dim_sum"), F.count(F.lit(1)).alias("dim_count")
+        w = _window_col(ts, size_s, slide_s)
+        long_form = records.select(
+            w.alias("w"), F.col(value).alias("_value"), F.expr(stack_expr)
         )
+        if salt_buckets > 0:
+            partial = long_form.groupBy(
+                "w",
+                "dim_name",
+                "dim_value",
+                F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias(
+                    "_salt"
+                ),
+            ).agg(F.sum("_value").alias("_psum"), F.count(F.lit(1)).alias("_pcnt"))
+            grouped = partial.groupBy("w", "dim_name", "dim_value").agg(
+                F.sum("_psum").alias("dim_sum"), F.sum("_pcnt").alias("dim_count")
+            )
+        else:
+            grouped = long_form.groupBy("w", "dim_name", "dim_value").agg(
+                F.sum("_value").alias("dim_sum"), F.count(F.lit(1)).alias("dim_count")
+            )
 
     return grouped.select(
         F.col("w.start").alias("window_start"),

@@ -29,10 +29,15 @@ def test_events_scan_prunes_columns(spark):
 def test_window_agg_is_partial_final(spark):
     df = e.q_sliding_window_sum(spark, SF_DIR)
     plan = explain_str(df)
-    # partial + final HashAggregate pair (map-side combine) around one
-    # exchange; windows assigned via Expand, not a UDF
+    # partial + final HashAggregate pairs (map-side combine). r9 pane
+    # aggregation: raw event rows are aggregated ONCE into tumbling
+    # slide-width pane partials — the size/slide-way Expand of every
+    # event row must be GONE (the old plan's one data-proportional row
+    # multiplication); the pane-to-window expansion is a Generate over
+    # the tiny pane table instead
     assert plan.count("HashAggregate") >= 2
-    assert "Expand" in plan
+    assert "Expand" not in plan
+    assert "Generate" in plan
     assert "BatchEvalPython" not in plan
 
 
