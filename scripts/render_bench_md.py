@@ -214,6 +214,11 @@ Sliding-window aggregation throughput: **~{wps:,.0f} windows/sec**
                 f"per-query median) — see OPTIMIZATION_r09.md for the "
                 f"per-operator attribution."
             )
+            # surface a measurement caveat recorded in the artifact
+            # itself (e.g. sustained co-tenant load), so a raw total is
+            # never read without its context
+            if d.get("ambient_load_note"):
+                lines.append(f"  - measurement note: {d['ambient_load_note']}")
         if len(lines) > 1:
             parts.append("\n".join(lines) + "\n")
     if excluded:
